@@ -1,0 +1,116 @@
+"""Single typed configuration for the whole pipeline.
+
+One source of truth replacing the reference's ~22 scattered
+`ros::param::get` sites (reference: ndt_mapping.launch:3-36,
+include/ndt_slam/*.h constructors). Defaults equal the launch-file
+values (SURVEY.md §6.2), which are the author's operating point.
+
+Capacity fields (`max_*`, `grid_*`) are the TPU-side addition: every
+variable-size structure in the reference (scan, submap, local map)
+becomes a fixed-capacity masked buffer so the per-frame step compiles
+once and never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    # ---- driver (reference: SlamLauncher.h:65-71) ----
+    start_frame: int = 0
+    end_frame: int = 690
+    keyframe_skip: int = 5          # rebuild global map every N frames
+    draw_skip: int = 5
+    sidelidar: bool = False         # include left/right LiDAR blocks
+
+    # ---- preprocessing (reference: ScanPointResampler.h:20-21) ----
+    resample_space: float = 0.05        # uniform arc-length spacing [m]
+    resample_space_thre: float = 0.25   # gap threshold: keep raw point [m]
+
+    # ---- NDT registration (reference: PoseEstimator.h:65-70) ----
+    ndt_resolution: float = 0.3     # NDT cell size [m]
+    ndt_max_iterations: int = 35
+    ndt_step_size: float = 0.1      # max Newton step norm [mixed m/rad]
+    ndt_trans_eps: float = 0.01     # convergence threshold on |delta p|
+    ndt_outlier_ratio: float = 0.55  # Gaussian-mixture outlier mass (PCL default)
+    ndt_min_points_per_cell: int = 6  # PCL VoxelGridCovariance default
+    ndt_neighborhood: int = 1       # cell search radius: 0 -> 1 cell, 1 -> 3x3
+    source_leaf_size: float = 0.05  # ApproximateVoxelGrid leaf on source scan
+    score_thre: float = 0.5         # accept iff fitness <= this (ScanMatcher.h:50)
+    failed_cost: float = 1.0e7      # cost when not converged (PoseEstimator.cpp:44-46)
+
+    # ---- fusion (reference: PoseFuser.h:20-22, PoseEstimator.h:65) ----
+    del_time: float = 0.5           # frame interval [s]
+    coe_vel: float = 0.1            # translational velocity noise coefficient
+    coe_omega: float = 0.5          # angular velocity noise coefficient
+    coe_ndt_cov: float = 1.0        # scale on NDT covariance
+
+    # ---- mapping (reference: PointCloudMap.h:37,92-95, PCFilter.h:22-23) ----
+    submap_sep_thre: float = 10.0   # close submap after this travel distance [m]
+    submap_leaf_size: float = 0.05  # voxel filter leaf for submap clouds
+    remove_moving: bool = True      # dynamic-object removal on
+    diff_resol: float = 0.05        # occupancy-diff cell size [m]
+    thre_neighbor: float = 0.2      # reject points within this of a moving candidate [m]
+
+    # ---- fixed capacities (TPU static shapes; not in reference) ----
+    max_scan_points: int = 2048        # per scan, post-resample
+    max_submap_scans: int = 256        # scans per submap
+    max_submap_points: int = 65536     # assembled submap cloud capacity
+    max_local_map_points: int = 131072  # NDT target capacity (prev + cur submap)
+    grid_cells_x: int = 192            # NDT grid extent (cells); window recenters
+    grid_cells_y: int = 192            #   per frame on the predicted pose
+    voxel_hash_bits: int = 20          # capacity of voxel-filter output tables
+
+    # ---- numerics ----
+    dtype: Any = dataclasses.field(default="float32")
+
+    # ---- loop closure / pose graph (reference scaffolding, first-class here) ----
+    loop_enable: bool = False
+    loop_radius: float = 5.0           # candidate search radius [m]
+    loop_min_frame_gap: int = 80       # min sid separation for a candidate
+    loop_score_thre: float = 0.3       # accept loop iff fitness <= this
+    max_keyframes: int = 4096
+    pgo_iterations: int = 20
+
+    # Derived sizes -----------------------------------------------------
+    @property
+    def grid_num_cells(self) -> int:
+        return self.grid_cells_x * self.grid_cells_y
+
+    @property
+    def grid_extent_x(self) -> float:
+        return self.grid_cells_x * self.ndt_resolution
+
+    @property
+    def grid_extent_y(self) -> float:
+        return self.grid_cells_y * self.ndt_resolution
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "SlamConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - fields
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+    # A small config for unit tests / CPU runs.
+    @classmethod
+    def small(cls, **kw) -> "SlamConfig":
+        base = dict(
+            max_scan_points=512,
+            max_submap_scans=64,
+            max_submap_points=8192,
+            max_local_map_points=16384,
+            grid_cells_x=96,
+            grid_cells_y=96,
+            voxel_hash_bits=14,
+            max_keyframes=256,
+        )
+        base.update(kw)
+        return cls(**base)

@@ -1,0 +1,123 @@
+"""Newton solve for NDT registration under lax.while_loop.
+
+Replaces the reference's hot loop inside pcl::NDT::align (reference:
+src/PoseEstimator.cpp:28; SURVEY.md §3.3): up to `max_iterations`
+Newton steps on the 3-DoF objective, with
+
+- a Levenberg ridge keyed off the smallest Hessian eigenvalue (the
+  3x3 eigensolve is negligible next to the N-point derivative pass),
+- step-norm clamping to `step_size` plus a *batched* backtracking line
+  search: all candidate step lengths are scored in one vmapped pass —
+  the TPU-friendly stand-in for PCL's sequential More-Thuente search
+  (SURVEY.md §7.3 item 2),
+- termination when the applied step norm drops below `trans_eps`
+  (PCL's transformation epsilon).
+
+Everything is fixed-shape; the while_loop exits early on convergence.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ndt_slam_tpu.ndt.grid import NDTGrid
+from ndt_slam_tpu.ndt.score import ndt_negative_score, ndt_score_grad_hess
+
+# Candidate step-length scales evaluated in parallel each iteration.
+_LS_SCALES = jnp.array([1.0, 0.5, 0.25, 0.1, 0.04, 0.015], dtype=jnp.float32)
+
+
+class NDTResult(NamedTuple):
+    pose_rad: jnp.ndarray   # [3] converged pose (tx, ty, th_rad)
+    iterations: jnp.ndarray  # int32
+    converged: jnp.ndarray  # bool: grid/source were usable
+    objective: jnp.ndarray  # final E (negative of PCL's score sum)
+    hessian: jnp.ndarray    # [3,3] Hessian of E at the final pose
+    matched: jnp.ndarray    # matched (point,cell) pairs at final pose
+
+
+def align(
+    init_pose_rad: jnp.ndarray,
+    src_xy: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    grid: NDTGrid,
+    d1: float,
+    d2: float,
+    max_iterations: int = 35,
+    step_size: float = 0.1,
+    trans_eps: float = 0.01,
+    radius: int = 1,
+) -> NDTResult:
+    def score_at(pose):
+        return ndt_negative_score(pose, src_xy, src_mask, grid, d1, d2, radius)
+
+    score_batch = jax.vmap(score_at)
+
+    def body(state):
+        pose, _prev_step, it, done = state
+        E, g, H, matched = ndt_score_grad_hess(
+            pose, src_xy, src_mask, grid, d1, d2, radius
+        )
+
+        # Levenberg ridge: make H positive definite AND well-conditioned
+        # in float32 (a bare -lambda_min shift is singular at f32 and
+        # jnp.linalg.solve returns non-finite). Far from the optimum the
+        # step norm is clamped anyway, so the extra damping only rotates
+        # the direction toward the gradient.
+        evals = jnp.linalg.eigvalsh(H)
+        abs_max = jnp.maximum(jnp.max(jnp.abs(evals)), 1e-6)
+        lam = jnp.where(
+            evals[0] < 1e-3 * abs_max,
+            -jnp.minimum(evals[0], 0.0) + 1e-2 * abs_max,
+            0.0,
+        )
+        Hp = H + lam * jnp.eye(3, dtype=H.dtype)
+        step = -jnp.linalg.solve(Hp, g)
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
+
+        def clamp(v):
+            nrm = jnp.linalg.norm(v)
+            return v * (jnp.minimum(nrm, step_size) / jnp.maximum(nrm, 1e-12))
+
+        # Batched line search over two directions (damped Newton and
+        # steepest descent — the fallback when H is badly conditioned
+        # far from the optimum), all candidates scored in one pass.
+        dirs = jnp.stack([clamp(step), clamp(-g)])            # [2,3]
+        cand_steps = (_LS_SCALES[:, None, None] * dirs[None, :, :]).reshape(-1, 3)
+        cand = pose[None, :] + cand_steps
+        Ec = score_batch(cand)
+        best = jnp.argmin(Ec)
+        improved = Ec[best] < E
+        applied = jnp.where(improved, 1.0, 0.0) * cand_steps[best]
+        new_pose = pose + applied
+
+        step_norm = jnp.linalg.norm(applied)
+        now_done = (~improved) | (step_norm < trans_eps) | (matched < 1.0)
+        return new_pose, step_norm, it + 1, done | now_done
+
+    def cond(state):
+        _pose, _sn, it, done = state
+        return (~done) & (it < max_iterations)
+
+    pose0 = init_pose_rad.astype(jnp.float32)
+    state = (pose0, jnp.float32(1e9), jnp.int32(0), jnp.bool_(False))
+    pose, _sn, it, _done = jax.lax.while_loop(cond, body, state)
+
+    # Final derivatives at the converged pose (feeds the NDT covariance,
+    # reference: src/PoseEstimator.cpp:52-64).
+    E, g, H, matched = ndt_score_grad_hess(
+        pose, src_xy, src_mask, grid, d1, d2, radius
+    )
+    n_src = jnp.sum(src_mask.astype(jnp.float32))
+    usable = (matched >= 1.0) & (n_src >= 1.0) & jnp.all(jnp.isfinite(pose))
+    return NDTResult(
+        pose_rad=pose,
+        iterations=it,
+        converged=usable,
+        objective=E,
+        hessian=H,
+        matched=matched,
+    )
