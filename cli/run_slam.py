@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Run ndt_slam_tpu over a log file (the reference's main + launch).
+
+Examples:
+  python cli/run_slam.py --simulate 120 --out /tmp/out
+  python cli/run_slam.py --log data/tsukuba.txt --format tsukuba --out out/
+  python cli/run_slam.py --log intel.clf --format carmen --out out/ --end-frame 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--log", help="input log file")
+    ap.add_argument("--format", choices=["tsukuba", "carmen"],
+                    default="tsukuba")
+    ap.add_argument("--simulate", type=int, default=0,
+                    help="run on N simulated frames instead of a log")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--config", help="JSON file of SlamConfig overrides")
+    ap.add_argument("--start-frame", type=int)
+    ap.add_argument("--end-frame", type=int)
+    ap.add_argument("--sidelidar", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force CPU JAX")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args()
+
+    if not args.simulate and not args.log:
+        ap.error("need --log or --simulate")  # before any heavy import
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ndt_slam_tpu.config import SlamConfig
+    from ndt_slam_tpu.pipeline.runner import run_slam
+    from ndt_slam_tpu.metrics import ate_rmse
+
+    overrides = {}
+    if args.config:
+        with open(args.config) as f:
+            overrides.update(json.load(f))
+    if args.start_frame is not None:
+        overrides["start_frame"] = args.start_frame
+    if args.end_frame is not None:
+        overrides["end_frame"] = args.end_frame
+    if args.sidelidar:
+        overrides["sidelidar"] = True
+    cfg = SlamConfig().replace(**overrides)
+
+    true_poses = None
+    if args.simulate:
+        from ndt_slam_tpu.io.simulate import simulate_sequence
+        frames = simulate_sequence(n_frames=args.simulate)
+        true_poses = np.asarray([f.true_pose for f in frames])
+        cfg = cfg.replace(end_frame=max(cfg.end_frame, args.simulate))
+    elif args.log:
+        if args.format == "carmen":
+            from ndt_slam_tpu.io.carmen import read_carmen_log
+            frames = read_carmen_log(args.log)
+        else:
+            from ndt_slam_tpu.io.tsukuba import read_tsukuba_log
+            frames = read_tsukuba_log(args.log, sidelidar=cfg.sidelidar)
+    else:
+        ap.error("need --log or --simulate")
+
+    os.makedirs(args.out, exist_ok=True)
+    fe = run_slam(
+        frames, cfg, out_dir=args.out,
+        metrics_path=os.path.join(args.out, "metrics.jsonl"),
+        verbose=args.verbose,
+    )
+
+    summary = {
+        "frames": len(fe.pose_history),
+        "accept_rate": float(np.mean([
+            1.0 if m.get("successful") else 0.0 for m in fe.metrics
+        ])) if fe.metrics else 0.0,
+    }
+    if true_poses is not None and len(fe.pose_history):
+        n = len(fe.pose_history)
+        summary["ate_rmse_m"] = ate_rmse(fe.get_poses(), true_poses[:n])
+        odo = np.asarray([f.odo_pose for f in frames[:n]])
+        summary["ate_odometry_m"] = ate_rmse(odo, true_poses[:n])
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,266 @@
+"""Submap-structured point-cloud map.
+
+Replicates the reference PointCloudMap/Submap behavior (reference:
+src/PointCloudMap.cpp:15-134, include/ndt_slam/PointCloudMap.h:23-145)
+with a TPU-native split of responsibilities:
+
+- Device side: every per-frame compute (voxel filter, occupancy diff,
+  neighbor rejection, buffer appends) is a fixed-shape jitted op over
+  capacity-padded buffers — shapes never change, nothing recompiles.
+- Host side: the submap open/close decision (accumulated travel
+  distance vs sep_thre) and the list of submaps, i.e. pure bookkeeping,
+  exactly the role the host plays in any accelerator input pipeline.
+
+Key behavioral parity points (SURVEY.md §6.3):
+- a new submap is seeded with the previous submap's last TWO raw scans
+  (dynamic-removal continuity, src/PointCloudMap.cpp:79-83);
+- the first submap keeps its scan[0] raw forever (makeMap cntS==0
+  branch) — including the n=1 duplication quirk;
+- the NDT local map = previous submap's closed (filtered) cloud +
+  voxel-filtered current cloud (src/PointCloudMap.cpp:119-134);
+- dynamic removal: interior scan i+1 is filtered against candidates
+  from diff(scan_i ∪ scan_{i+2} -> scan_{i+1}). The reference
+  reprocesses the whole submap every frame, O(scans^2); here each
+  interior is processed exactly once, when its right neighbor arrives
+  — the final clouds are identical because the pass only depends on
+  the 3-scan window (SURVEY.md §6.3 item 8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ndt_slam_tpu.config import SlamConfig
+from ndt_slam_tpu.core.points import PointBuffer, PAD_COORD, compact
+from ndt_slam_tpu.mapping.voxel import voxel_filter
+from ndt_slam_tpu.mapping.dynamic import process_interior_scan
+
+
+@jax.jit
+def _append(dst: PointBuffer, dst_count, src: PointBuffer):
+    """Append src's valid points into dst at dst_count (drop overflow)."""
+    s = compact(src)
+    idx = dst_count + jnp.arange(s.capacity, dtype=jnp.int32)
+    ok = s.mask & (idx < dst.capacity)
+    idx = jnp.where(ok, idx, dst.capacity)  # out-of-bounds -> dropped
+    xy = dst.xy.at[idx].set(s.xy, mode="drop")
+    mask = dst.mask.at[idx].set(ok, mode="drop")
+    return PointBuffer(xy, mask), dst_count + jnp.sum(ok.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _concat(a: PointBuffer, b: PointBuffer, capacity: int) -> PointBuffer:
+    xy = jnp.concatenate([a.xy, b.xy], axis=0)
+    mask = jnp.concatenate([a.mask, b.mask], axis=0)
+    total = xy.shape[0]
+    if total < capacity:  # pad up to the requested capacity
+        xy = jnp.concatenate(
+            [xy, jnp.full((capacity - total, 2), PAD_COORD, xy.dtype)]
+        )
+        mask = jnp.concatenate([mask, jnp.zeros((capacity - total,), bool)])
+    c = compact(PointBuffer(xy, mask))
+    return PointBuffer(c.xy[:capacity], c.mask[:capacity])
+
+
+@partial(jax.jit, static_argnames=("leaf",))
+def _voxel(buf: PointBuffer, leaf: float) -> PointBuffer:
+    return voxel_filter(buf, leaf)
+
+
+@partial(jax.jit, static_argnames=("resol", "thre"))
+def _interior(prev, cur, nxt, resol: float, thre: float) -> PointBuffer:
+    return process_interior_scan(prev, cur, nxt, resol, thre)
+
+
+class Submap:
+    """One submap: accumulated processed cloud + the raw 3-scan tail."""
+
+    def __init__(self, cfg: SlamConfig, atd_s: float, cnt_s: int):
+        self.cfg = cfg
+        self.atd_s = atd_s
+        self.cnt_s = cnt_s          # global pose index of first scan
+        self.cnt_e: Optional[int] = None
+        self.proc = PointBuffer.empty(cfg.max_submap_points)
+        self.proc_count = jnp.int32(0)
+        self.raw: List[PointBuffer] = []   # last 3 raw scans (device)
+        self.n_scans = 0
+        self.final_cloud: Optional[PointBuffer] = None  # set on close
+        self.is_first = cnt_s == 0
+
+    def _push_raw(self, scan: PointBuffer):
+        self.raw.append(scan)
+        if len(self.raw) > 3:
+            self.raw.pop(0)
+
+    def add_scan(self, scan: PointBuffer, carried: bool = False):
+        """Add one scan (map-frame points). `carried` marks the two scans
+        inherited from the previous submap at creation."""
+        cfg = self.cfg
+        self._push_raw(scan)
+        self.n_scans += 1
+        if cfg.remove_moving:
+            if self.is_first and self.n_scans == 1:
+                # first submap keeps scan[0] raw forever
+                self.proc, self.proc_count = _append(
+                    self.proc, self.proc_count, scan
+                )
+            if self.n_scans >= 3:
+                processed = _interior(
+                    self.raw[-3], self.raw[-2], self.raw[-1],
+                    cfg.diff_resol, cfg.thre_neighbor,
+                )
+                self.proc, self.proc_count = _append(
+                    self.proc, self.proc_count, processed
+                )
+        else:
+            # plain concat; non-first submaps skip the 2 carried scans
+            # (reference: src/PointCloudMap.cpp:33-37)
+            if not carried or self.is_first:
+                self.proc, self.proc_count = _append(
+                    self.proc, self.proc_count, scan
+                )
+
+    def cloud(self) -> PointBuffer:
+        """Current assembled cloud (reference: Submap::makeMap output)."""
+        if self.cfg.remove_moving and self.raw:
+            return _concat(self.proc, self.raw[-1], self.cfg.max_submap_points)
+        return self.proc
+
+    def close(self):
+        """Voxel-filter and freeze (reference: submap separation path,
+        src/PointCloudMap.cpp:72-77)."""
+        self.final_cloud = _voxel(self.cloud(), self.cfg.submap_leaf_size)
+
+
+class PointCloudMap:
+    """Trajectory + submaps + local/global map assembly."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.poses: List[np.ndarray] = []        # fused poses (deg)
+        self.atd = 0.0
+        self.submaps: List[Submap] = [Submap(cfg, 0.0, 0)]
+        self.last_pose = np.zeros(3, dtype=np.float32)
+        self.last_scan: Optional[PointBuffer] = None
+        # raw local-frame scans kept for post-loop-closure remake
+        self.local_scans: List[np.ndarray] = []
+
+    # -- reference: PointCloudMap::addPose (src/PointCloudMap.cpp:44-55)
+    def add_pose(self, pose_deg: np.ndarray):
+        pose_deg = np.asarray(pose_deg, dtype=np.float32)
+        if self.poses:
+            pp = self.poses[-1]
+            self.atd += float(np.hypot(pose_deg[0] - pp[0], pose_deg[1] - pp[1]))
+        self.poses.append(pose_deg)
+
+    # -- reference: PointCloudMap::addPoints (src/PointCloudMap.cpp:58-91)
+    def add_points(self, scan_map_frame: PointBuffer):
+        cfg = self.cfg
+        cur = self.submaps[-1]
+        if self.atd - cur.atd_s >= cfg.submap_sep_thre:
+            cur.cnt_e = len(self.poses) - 2
+            cur.close()
+            new = Submap(cfg, self.atd, len(self.poses) - 1)
+            # seed with the previous submap's last two raw scans
+            for s in cur.raw[-2:]:
+                new.add_scan(s, carried=True)
+            new.add_scan(scan_map_frame)
+            self.submaps.append(new)
+        else:
+            cur.add_scan(scan_map_frame)
+
+    # -- reference: PointCloudMap::makeLocalMap (src/PointCloudMap.cpp:119-134)
+    def local_map(self) -> PointBuffer:
+        cfg = self.cfg
+        cur = self.submaps[-1]
+        cur_filtered = _voxel(cur.cloud(), cfg.submap_leaf_size)
+        if len(self.submaps) >= 2:
+            prev = self.submaps[-2].final_cloud
+            return _concat(prev, cur_filtered, cfg.max_local_map_points)
+        return _concat(
+            cur_filtered, PointBuffer.empty(1), cfg.max_local_map_points
+        )
+
+    def registration_target(self) -> PointBuffer:
+        """NDT target: previous submap's closed cloud + the CURRENT
+        submap's unfiltered cloud.
+
+        Deviation from the reference (documented): the reference voxel-
+        filters the current submap before registration purely to save
+        CPU (src/PointCloudMap.cpp:119-134). At 0.05 m leaf that caps
+        wall density at ~6 points per 0.3 m NDT cell — right at PCL's
+        min-points threshold — which starves the grid of valid cells
+        during the first scans of a submap. On TPU the filter saves
+        nothing, so the grid gets the raw accumulated cloud (denser,
+        better-conditioned covariances); exports still use the filtered
+        `local_map()` for output parity.
+        """
+        cfg = self.cfg
+        cur = self.submaps[-1].cloud()
+        if len(self.submaps) >= 2:
+            prev = self.submaps[-2].final_cloud
+            return _concat(prev, cur, cfg.max_local_map_points)
+        return _concat(cur, PointBuffer.empty(1), cfg.max_local_map_points)
+
+    # -- reference: PointCloudMap::makeGlobalMap (src/PointCloudMap.cpp:96-116)
+    def global_map(self) -> np.ndarray:
+        """Host-side [M,2] float32 of all valid map points; also returns
+        per-submap clouds via `submap_clouds()`."""
+        return np.concatenate(self.submap_clouds(), axis=0) if self.poses else \
+            np.zeros((0, 2), np.float32)
+
+    def submap_clouds(self) -> List[np.ndarray]:
+        out = []
+        for sm in self.submaps[:-1]:
+            c = sm.final_cloud
+            xy = np.asarray(c.xy)[np.asarray(c.mask)]
+            out.append(xy.astype(np.float32))
+        cur = self.submaps[-1]
+        f = _voxel(cur.cloud(), self.cfg.submap_leaf_size)
+        out.append(np.asarray(f.xy)[np.asarray(f.mask)].astype(np.float32))
+        return out
+
+    # -- bookkeeping mirrors of setLastPose/setLastScan
+    def set_last_pose(self, pose_deg: np.ndarray):
+        self.last_pose = np.asarray(pose_deg, dtype=np.float32)
+
+    def get_last_pose(self) -> np.ndarray:
+        return self.last_pose
+
+    def set_last_scan(self, scan: PointBuffer):
+        self.last_scan = scan
+
+    def record_local_scan(self, xy_local: np.ndarray):
+        self.local_scans.append(np.asarray(xy_local, dtype=np.float32))
+
+    # -- reference: commented-out PointCloudMap::remakeMaps
+    #    (src/PointCloudMap.cpp:136-171) — rebuilt here for the pose-graph
+    #    backend: re-project every stored local scan through corrected
+    #    poses and rebuild the submap structure from scratch.
+    def remake_maps(self, new_poses_deg: np.ndarray):
+        from ndt_slam_tpu.core.pose2 import global_points
+        from ndt_slam_tpu.core.points import pad_points
+
+        cfg = self.cfg
+        assert len(new_poses_deg) == len(self.local_scans) == len(self.poses)
+        self.poses = []
+        self.atd = 0.0
+        self.submaps = [Submap(cfg, 0.0, 0)]
+        locals_ = self.local_scans
+        self.local_scans = []
+        for pose, xy_local in zip(np.asarray(new_poses_deg), locals_):
+            buf = pad_points(xy_local, cfg.max_scan_points)
+            g = global_points(jnp.asarray(pose, dtype=jnp.float32), buf.xy)
+            gbuf = PointBuffer(
+                jnp.where(buf.mask[:, None], g, PAD_COORD), buf.mask
+            )
+            self.add_pose(pose)
+            self.add_points(gbuf)
+            self.local_scans.append(xy_local)
+            self.set_last_pose(pose)
+        self.last_pose = np.asarray(new_poses_deg[-1], dtype=np.float32)

@@ -1,0 +1,239 @@
+"""Per-frame SLAM step (the reference's FrontEnd + ScanMatcher).
+
+One compiled `_registration_step` does everything numerical for a frame
+in a single XLA program (reference call stack SURVEY.md §3.2-3.3):
+
+    odometry motion -> predicted pose -> source voxel downsample ->
+    NDT grid build over the local map -> Newton align -> fitness ->
+    NDT covariance from the Hessian -> accept/reject (jnp.where) ->
+    Kalman fuse (or odometry-only propagation) -> map-frame points.
+
+The host FrontEnd wrapper owns the first-scan bootstrap, the map
+bookkeeping (PointCloudMap), and the metrics trail. Shapes are fixed by
+SlamConfig capacities, so the step compiles exactly once.
+
+Parity notes (SURVEY.md §6.3): cost forced to failed_cost when the
+solve is unusable (src/PoseEstimator.cpp:44-46); accept iff
+cost <= score_thre (src/ScanMatcher.cpp:50-53); on reject the pose is
+the odometry prediction and covariance grows by the motion model only
+(src/ScanMatcher.cpp:63-66); the first frame enters the map at its raw
+odometry pose with zero covariance (src/ScanMatcher.cpp:9-22).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ndt_slam_tpu.config import SlamConfig
+from ndt_slam_tpu.core import pose2
+from ndt_slam_tpu.core.points import PointBuffer, PAD_COORD, pad_points
+from ndt_slam_tpu.pre import resample_points_np
+from ndt_slam_tpu.mapping.voxel import voxel_filter
+from ndt_slam_tpu.mapping.pointcloud_map import PointCloudMap
+from ndt_slam_tpu.ndt.grid import build_grid
+from ndt_slam_tpu.ndt.score import gauss_constants
+from ndt_slam_tpu.ndt.solve import align
+from ndt_slam_tpu.ndt.fitness import fitness_score
+from ndt_slam_tpu.fuse.ekf import fuse_pose, odometry_covariance
+
+
+class FrameResult(NamedTuple):
+    est_pose: jnp.ndarray     # [3] NDT pose (deg)
+    fused_pose: jnp.ndarray   # [3] fused pose (deg)
+    cov: jnp.ndarray          # [3,3]
+    cost: jnp.ndarray         # fitness (or failed_cost)
+    successful: jnp.ndarray   # bool
+    iterations: jnp.ndarray   # int32
+    matched: jnp.ndarray      # float32
+    global_xy: jnp.ndarray    # [N,2] scan in map frame at fused pose
+    error_pose: jnp.ndarray   # [3] map->odom offset (deg), TF parity
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _registration_step(
+    cfg: SlamConfig,
+    scan_xy: jnp.ndarray,      # [S,2] resampled scan, sensor frame
+    scan_mask: jnp.ndarray,    # [S]
+    odo_pose: jnp.ndarray,     # [3] current raw odometry (deg)
+    prev_odo: jnp.ndarray,     # [3] previous raw odometry (deg)
+    last_pose: jnp.ndarray,    # [3] last fused pose (deg)
+    last_cov: jnp.ndarray,     # [3,3]
+    local_xy: jnp.ndarray,     # [L,2] local map (map frame)
+    local_mask: jnp.ndarray,   # [L]
+) -> FrameResult:
+    # --- odometry prediction (reference: src/ScanMatcher.cpp:27-32)
+    odo_motion = pose2.cal_motion(odo_pose, prev_odo)
+    pred_pose = pose2.cal_pred_pose(odo_motion, last_pose)
+
+    # --- source downsample (reference: src/PoseEstimator.cpp:6-10)
+    src = voxel_filter(PointBuffer(scan_xy, scan_mask), cfg.source_leaf_size)
+
+    # --- NDT grid over the local map, window centered on the prediction
+    grid = build_grid(
+        local_xy, local_mask, pred_pose[:2],
+        cfg.grid_cells_x, cfg.grid_cells_y, cfg.ndt_resolution,
+        min_pts=cfg.ndt_min_points_per_cell,
+    )
+    d1, d2 = gauss_constants(cfg.ndt_resolution, cfg.ndt_outlier_ratio)
+
+    init_rad = pose2.pose_deg_to_rad(pred_pose)
+    res = align(
+        init_rad, src.xy, src.mask, grid, d1, d2,
+        max_iterations=cfg.ndt_max_iterations,
+        step_size=cfg.ndt_step_size,
+        trans_eps=cfg.ndt_trans_eps,
+        radius=cfg.ndt_neighborhood,
+    )
+    est_pose = pose2.pose_rad_to_deg(res.pose_rad)
+
+    # --- fitness at the converged pose (reference: getFitnessScore on
+    #     the downsampled source, src/PoseEstimator.cpp:42-46)
+    src_map = pose2.global_points(est_pose, src.xy)
+    src_map = jnp.where(src.mask[:, None], src_map, PAD_COORD)
+    fit = fitness_score(src_map, src.mask, local_xy, local_mask)
+    cost = jnp.where(res.converged, fit, cfg.failed_cost)
+    successful = cost <= cfg.score_thre
+
+    # --- NDT covariance Q = H^-1 * coe (reference: src/PoseEstimator.cpp:52-64;
+    #     our H is the Hessian of E = -score, i.e. already "-H" there).
+    #     Conscious fix over the reference (SURVEY.md §6.3 item 3): the
+    #     reference inverts H unconditionally, feeding an indefinite Q
+    #     into the Kalman update when the Hessian isn't PD. Here Q is
+    #     repaired by flooring the curvature eigenvalues, so fusion
+    #     stays stable while the information content is preserved.
+    H = res.hessian
+    H = jnp.where(jnp.all(jnp.isfinite(H)), H, jnp.eye(3, dtype=H.dtype))
+    evals, evecs = jnp.linalg.eigh(H)
+    inv_e = cfg.coe_ndt_cov / jnp.clip(evals, 1e-3, None)
+    q_mat = (evecs * inv_e[None, :]) @ evecs.T
+
+    # --- fuse or dead-reckon (reference: src/ScanMatcher.cpp:60-66)
+    fused_k, cov_k = fuse_pose(
+        pred_pose, est_pose, odo_motion, last_pose, last_cov, q_mat,
+        cfg.del_time, cfg.coe_vel, cfg.coe_omega,
+    )
+    cov_odo = odometry_covariance(
+        odo_motion, last_pose, last_cov,
+        cfg.del_time, cfg.coe_vel, cfg.coe_omega,
+    )
+    accept = successful
+    fused = jnp.where(accept, fused_k, pred_pose)
+    cov = jnp.where(accept, cov_k, cov_odo)
+
+    # --- scan into map frame at the fused pose (growMap input,
+    #     reference: src/ScanMatcher.cpp:93-109)
+    g = pose2.global_points(fused, scan_xy)
+    g = jnp.where(scan_mask[:, None], g, PAD_COORD)
+
+    # --- TF map->odom parity (reference: src/ScanMatcher.cpp:82-84)
+    error_pose = pose2.cal_global_motion(fused, odo_pose)
+
+    return FrameResult(
+        est_pose=est_pose,
+        fused_pose=fused,
+        cov=cov,
+        cost=cost,
+        successful=accept,
+        iterations=res.iterations,
+        matched=res.matched,
+        global_xy=g,
+        error_pose=error_pose,
+    )
+
+
+class FrontEnd:
+    """Host orchestration: reference FrontEnd::process + ScanMatcher
+    (src/FrontEnd.cpp:4-48, src/ScanMatcher.cpp:4-117)."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.pcmap = PointCloudMap(cfg)
+        self.cnt = 0
+        self.prev_odo: Optional[np.ndarray] = None
+        self.last_cov = jnp.zeros((3, 3), dtype=jnp.float32)
+        self.init_pose: Optional[np.ndarray] = None
+        self.pose_history: list[np.ndarray] = []
+        self.cov_history: list[np.ndarray] = []
+        self.metrics: list[dict] = []
+
+    def process(self, scan_xy_local: np.ndarray, odo_pose_deg: np.ndarray,
+                sid: Optional[int] = None) -> dict:
+        """One frame. scan_xy_local: [n,2] raw sensor-frame points;
+        odo_pose_deg: [3] raw odometry. Returns the per-frame metrics."""
+        cfg = self.cfg
+        if sid is None:
+            sid = self.cnt
+        if sid < cfg.start_frame:
+            return {"sid": sid, "skipped": True}
+
+        rs = resample_points_np(
+            scan_xy_local, cfg.resample_space, cfg.resample_space_thre
+        )
+        scan = pad_points(rs, cfg.max_scan_points)
+        odo = np.asarray(odo_pose_deg, dtype=np.float32)
+
+        if self.cnt == 0:
+            # bootstrap (reference: src/ScanMatcher.cpp:9-22)
+            self.init_pose = odo.copy()
+            fused = odo
+            cov = np.zeros((3, 3), dtype=np.float32)
+            g = pose2.global_points(jnp.asarray(fused), scan.xy)
+            g = jnp.where(scan.mask[:, None], g, PAD_COORD)
+            self._grow_map(PointBuffer(g, scan.mask), fused, rs)
+            self.last_cov = jnp.asarray(cov)
+            self.prev_odo = odo
+            self.cnt += 1
+            rec = {
+                "sid": sid, "cost": 0.0, "successful": True,
+                "fused_pose": fused.tolist(), "iterations": 0,
+                "bootstrap": True,
+            }
+            self._record(fused, cov, rec)
+            return rec
+
+        local = self.pcmap.registration_target()
+        out = _registration_step(
+            cfg, scan.xy, scan.mask,
+            jnp.asarray(odo), jnp.asarray(self.prev_odo),
+            jnp.asarray(self.pcmap.get_last_pose()), self.last_cov,
+            local.xy, local.mask,
+        )
+        fused = np.asarray(out.fused_pose)
+        cov = np.asarray(out.cov)
+        self.last_cov = out.cov
+        self._grow_map(PointBuffer(out.global_xy, scan.mask), fused, rs)
+        self.prev_odo = odo
+        self.cnt += 1
+        rec = {
+            "sid": sid,
+            "cost": float(out.cost),
+            "successful": bool(out.successful),
+            "est_pose": np.asarray(out.est_pose).tolist(),
+            "fused_pose": fused.tolist(),
+            "iterations": int(out.iterations),
+            "matched": float(out.matched),
+            "error_pose": np.asarray(out.error_pose).tolist(),
+        }
+        self._record(fused, cov, rec)
+        return rec
+
+    # reference: ScanMatcher::growMap (src/ScanMatcher.cpp:93-117)
+    def _grow_map(self, scan_map_frame: PointBuffer, fused_pose, rs_local):
+        self.pcmap.add_pose(fused_pose)
+        self.pcmap.add_points(scan_map_frame)
+        self.pcmap.set_last_pose(fused_pose)
+        self.pcmap.set_last_scan(scan_map_frame)
+        self.pcmap.record_local_scan(rs_local)
+
+    def _record(self, fused, cov, rec):
+        self.pose_history.append(np.asarray(fused))
+        self.cov_history.append(np.asarray(cov))
+        self.metrics.append(rec)
+
+    def get_poses(self) -> np.ndarray:
+        return np.asarray(self.pose_history, dtype=np.float32)

@@ -1,0 +1,64 @@
+"""Host driver loop (the reference's SlamLauncher, SURVEY.md §3.1):
+feed frames from a log/simulator into the FrontEnd, write outputs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ndt_slam_tpu.config import SlamConfig
+from ndt_slam_tpu.pipeline.frontend import FrontEnd
+from ndt_slam_tpu.io.traj import save_poses_reference_format, save_poses_full
+from ndt_slam_tpu.io.pcd import save_pcd
+from ndt_slam_tpu.metrics import JsonlWriter
+
+
+def run_slam(
+    frames: Iterable,
+    cfg: SlamConfig,
+    out_dir: Optional[str] = None,
+    metrics_path: Optional[str] = None,
+    verbose: bool = False,
+) -> FrontEnd:
+    """Run the full pipeline over frames (objects with .odo_pose and
+    .scan_xy, e.g. io.simulate.Frame or io.tsukuba.LogFrame).
+
+    Mirrors SlamLauncher::loop_wait: stop after cfg.end_frame frames,
+    then write the pose file and the global + per-submap PCD maps.
+    """
+    fe = FrontEnd(cfg)
+    jl = JsonlWriter(metrics_path)
+    t0 = time.perf_counter()
+    n = 0
+    for cnt, fr in enumerate(frames, start=1):
+        if cnt > cfg.end_frame:
+            break
+        sid = getattr(fr, "sid", None)
+        if sid is None:
+            sid = getattr(fr, "stamp", cnt - 1)
+        rec = fe.process(fr.scan_xy, fr.odo_pose, sid=sid)
+        rec["wall_s"] = time.perf_counter() - t0
+        jl.write(rec)
+        n += 1
+        if verbose and cnt % 50 == 0:
+            print(f"[runner] frame {cnt} cost={rec.get('cost', 0):.4f} "
+                  f"ok={rec.get('successful')}")
+    jl.close()
+
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        poses = fe.get_poses()
+        save_poses_reference_format(os.path.join(out_dir, "poses.txt"), poses)
+        save_poses_full(os.path.join(out_dir, "poses_full.txt"), poses)
+        save_pcd(os.path.join(out_dir, "map.pcd"), fe.pcmap.global_map())
+        for i, sm in enumerate(fe.pcmap.submap_clouds()):
+            save_pcd(os.path.join(out_dir, f"submap_{i:03d}.pcd"), sm)
+    elapsed = time.perf_counter() - t0
+    if verbose:
+        print(f"[runner] {n} frames in {elapsed:.2f}s "
+              f"({n / max(elapsed, 1e-9):.2f} scans/s)")
+    return fe

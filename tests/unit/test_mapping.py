@@ -1,0 +1,116 @@
+"""Mapping subsystem tests: voxel filter, occupancy diff, dynamic
+removal, submap lifecycle (reference semantics: src/PointCloudMap.cpp,
+include/ndt_slam/PCFilter.h)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ndt_slam_tpu.config import SlamConfig
+from ndt_slam_tpu.core.points import pad_points, PointBuffer
+from ndt_slam_tpu.mapping import (
+    voxel_filter, occupancy_diff_mask, keep_far_from_mask,
+    process_interior_scan, PointCloudMap,
+)
+
+
+def test_voxel_filter_centroids():
+    pts = np.array([
+        [0.01, 0.01], [0.02, 0.03], [0.03, 0.02],   # cell (0,0)
+        [0.11, 0.01],                                # cell (2,0) @ leaf 0.05
+    ])
+    buf = pad_points(pts, 16)
+    out = voxel_filter(buf, 0.05)
+    got = np.asarray(out.xy)[np.asarray(out.mask)]
+    assert got.shape[0] == 2
+    got = got[np.argsort(got[:, 0])]
+    assert np.allclose(got[0], [0.02, 0.02], atol=1e-6)
+    assert np.allclose(got[1], [0.11, 0.01], atol=1e-6)
+
+
+def test_voxel_filter_empty():
+    buf = pad_points(np.zeros((0, 2)), 8)
+    out = voxel_filter(buf, 0.05)
+    assert int(out.count()) == 0
+
+
+def test_voxel_filter_negative_coords():
+    pts = np.array([[-1.23, -4.56], [-1.22, -4.57]])
+    out = voxel_filter(pad_points(pts, 8), 0.05)
+    got = np.asarray(out.xy)[np.asarray(out.mask)]
+    assert got.shape[0] == 1
+    assert np.allclose(got[0], pts.mean(0), atol=1e-6)
+
+
+def test_occupancy_diff():
+    base = pad_points(np.array([[0.0, 0.0], [1.0, 1.0]]), 8)
+    test = pad_points(np.array([[0.01, 0.01], [2.0, 2.0], [1.02, 1.01]]), 8)
+    diff = occupancy_diff_mask(base.xy, base.mask, test.xy, test.mask, 0.05)
+    got = np.asarray(diff)[:3]
+    # [0.01,0.01] shares base voxel, [2,2] appears, [1.02,1.01] shares
+    assert got.tolist() == [False, True, False]
+
+
+def test_keep_far_from():
+    pts = pad_points(np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]), 8)
+    cand = pad_points(np.array([[1.05, 0.0]]), 4)
+    keep = keep_far_from_mask(pts.xy, pts.mask, cand.xy, cand.mask, 0.2)
+    assert np.asarray(keep)[:3].tolist() == [True, False, True]
+    # no candidates -> all kept (reference flag-stays-true behavior)
+    none = pad_points(np.zeros((0, 2)), 4)
+    keep2 = keep_far_from_mask(pts.xy, pts.mask, none.xy, none.mask, 0.2)
+    assert np.asarray(keep2)[:3].tolist() == [True, True, True]
+
+
+def test_process_interior_removes_mover():
+    # static wall points present in all 3 scans; a "mover" only in cur
+    wall = np.stack([np.linspace(0, 2, 21), np.zeros(21)], axis=1)
+    mover = np.array([[1.0, 1.0], [1.05, 1.0]])
+    prev = pad_points(wall, 64)
+    nxt = pad_points(wall + [0.001, 0.0], 64)
+    cur = pad_points(np.concatenate([wall, mover]), 64)
+    out = process_interior_scan(prev, cur, nxt, resol=0.05, thre_neighbor=0.2)
+    got = np.asarray(out.xy)[np.asarray(out.mask)]
+    # mover gone, wall kept
+    assert got.shape[0] == 21
+    assert np.all(got[:, 1] < 0.5)
+
+
+def test_submap_lifecycle_and_local_map():
+    cfg = SlamConfig.small(submap_sep_thre=2.0, remove_moving=False)
+    pm = PointCloudMap(cfg)
+    rng = np.random.default_rng(0)
+    # walk 6 m in x, one scan (a small blob) per 0.5 m
+    n_scans = 13
+    for i in range(n_scans):
+        pose = np.array([0.5 * i, 0.0, 0.0], dtype=np.float32)
+        pts = pose[:2] + rng.standard_normal((40, 2)).astype(np.float32) * 0.3
+        pm.add_pose(pose)
+        pm.add_points(pad_points(pts, cfg.max_scan_points))
+        pm.set_last_pose(pose)
+    # sep_thre=2.0 m -> several submaps
+    assert len(pm.submaps) >= 2
+    # closed submaps have filtered clouds
+    for sm in pm.submaps[:-1]:
+        assert sm.final_cloud is not None
+        assert int(sm.final_cloud.count()) > 0
+    lm = pm.local_map()
+    assert lm.capacity == cfg.max_local_map_points
+    assert int(lm.count()) > 0
+    gm = pm.global_map()
+    assert gm.shape[0] > 0 and gm.shape[1] == 2
+    # atd accumulated ~ 6 m
+    assert abs(pm.atd - 0.5 * (n_scans - 1)) < 1e-3
+
+
+def test_submap_carryover_seeding():
+    cfg = SlamConfig.small(submap_sep_thre=1.0, remove_moving=True)
+    pm = PointCloudMap(cfg)
+    for i in range(8):
+        pose = np.array([0.4 * i, 0.0, 0.0], dtype=np.float32)
+        pts = pose[:2] + np.random.default_rng(i).standard_normal((30, 2)) * 0.2
+        pm.add_pose(pose)
+        pm.add_points(pad_points(pts.astype(np.float32), cfg.max_scan_points))
+    assert len(pm.submaps) >= 2
+    # new submap was seeded with 2 carried scans + the triggering scan
+    newest = pm.submaps[-1]
+    assert newest.n_scans >= 3
