@@ -84,31 +84,25 @@ def _inflate_and_invert(cov: jnp.ndarray, eig_mult: float = 0.01):
     return inv, ok
 
 
-def build_grid(
+def grid_origin(center: jnp.ndarray, nx: int, ny: int, resolution: float):
+    """Window origin centered on `center`, snapped to the cell lattice so
+    consecutive frames see stable cell boundaries."""
+    half = jnp.array([nx, ny], dtype=center.dtype) * (resolution / 2.0)
+    return jnp.floor((center - half) / resolution) * resolution
+
+
+def grid_moments(
     xy: jnp.ndarray,
     mask: jnp.ndarray,
-    center: jnp.ndarray,
+    origin: jnp.ndarray,
     nx: int,
     ny: int,
     resolution: float,
-    min_pts: int = 6,
-    eig_mult: float = 0.01,
-) -> NDTGrid:
-    """Build the NDT grid from a padded target buffer.
-
-    xy: [N,2], mask: [N], center: [2] — the window is centered on
-    `center`, snapped to the cell lattice so consecutive frames see
-    stable cell boundaries.
-    """
+):
+    """Per-cell accumulation pass: (count, sx, sy, sxx, sxy, syy), each
+    [nx*ny]. Pure scatter — additive, so shards can psum their partial
+    moments before `grid_finalize` (the multi-chip split point)."""
     num_cells = nx * ny
-    origin = (
-        jnp.floor(
-            (center - jnp.array([nx, ny], dtype=xy.dtype) * (resolution / 2.0))
-            / resolution
-        )
-        * resolution
-    )
-
     rel = (xy - origin) / resolution
     ci = jnp.floor(rel).astype(jnp.int32)
     in_bounds = (
@@ -118,18 +112,44 @@ def build_grid(
     # invalid points scatter into a dump cell (index = num_cells)
     cid = jnp.where(ok, ci[:, 0] * ny + ci[:, 1], num_cells)
 
+    # Accumulate in CELL-relative coordinates (each point minus its own
+    # cell's lower corner, magnitude <= resolution): the sum-of-squares
+    # cancellation (sxx - n*mx^2) is then exact to f32 roundoff, where
+    # absolute map-scale coordinates lose ~4 digits. The cell corner is
+    # deterministic from cid, so partial moments stay additive across
+    # shards (psum-safe); grid_finalize adds the corner back.
+    cx = ci[:, 0].astype(xy.dtype) * resolution + origin[0]
+    cy = ci[:, 1].astype(xy.dtype) * resolution + origin[1]
+    xr = jnp.where(ok, xy[:, 0] - cx, 0.0)
+    yr = jnp.where(ok, xy[:, 1] - cy, 0.0)
     ones = ok.astype(xy.dtype)
     count = jax.ops.segment_sum(ones, cid, num_segments=num_cells + 1)
-    sx = jax.ops.segment_sum(jnp.where(ok, xy[:, 0], 0.0), cid, num_segments=num_cells + 1)
-    sy = jax.ops.segment_sum(jnp.where(ok, xy[:, 1], 0.0), cid, num_segments=num_cells + 1)
-    sxx = jax.ops.segment_sum(jnp.where(ok, xy[:, 0] * xy[:, 0], 0.0), cid, num_segments=num_cells + 1)
-    sxy = jax.ops.segment_sum(jnp.where(ok, xy[:, 0] * xy[:, 1], 0.0), cid, num_segments=num_cells + 1)
-    syy = jax.ops.segment_sum(jnp.where(ok, xy[:, 1] * xy[:, 1], 0.0), cid, num_segments=num_cells + 1)
+    sx = jax.ops.segment_sum(xr, cid, num_segments=num_cells + 1)
+    sy = jax.ops.segment_sum(yr, cid, num_segments=num_cells + 1)
+    sxx = jax.ops.segment_sum(xr * xr, cid, num_segments=num_cells + 1)
+    sxy = jax.ops.segment_sum(xr * yr, cid, num_segments=num_cells + 1)
+    syy = jax.ops.segment_sum(yr * yr, cid, num_segments=num_cells + 1)
 
     count = count[:num_cells]
     sx, sy = sx[:num_cells], sy[:num_cells]
     sxx, sxy, syy = sxx[:num_cells], sxy[:num_cells], syy[:num_cells]
+    return count, sx, sy, sxx, sxy, syy
 
+
+def grid_finalize(
+    moments,
+    origin: jnp.ndarray,
+    nx: int,
+    ny: int,
+    resolution: float,
+    min_pts: int = 6,
+    eig_mult: float = 0.01,
+) -> NDTGrid:
+    """Turn (psum'd) moments into per-cell mean / inverse covariance."""
+    count, sx, sy, sxx, sxy, syy = moments
+    cell = jnp.arange(nx * ny, dtype=jnp.int32)
+    corner_x = (cell // ny).astype(sx.dtype) * resolution + origin[0]
+    corner_y = (cell % ny).astype(sy.dtype) * resolution + origin[1]
     n = jnp.maximum(count, 1.0)
     mx, my = sx / n, sy / n
     # Unbiased covariance (PCL divides by n-1).
@@ -147,7 +167,8 @@ def build_grid(
     inv_cov, inv_ok = _inflate_and_invert(cov, eig_mult)
     valid = (count >= min_pts) & inv_ok
 
-    mean = jnp.stack([mx, my], axis=-1)
+    # moments were cell-relative; restore absolute means
+    mean = jnp.stack([mx + corner_x, my + corner_y], axis=-1)
     # Park invalid cells far away so a stray unmasked lookup scores ~0.
     mean = jnp.where(valid[:, None], mean, 1.0e8)
     inv_cov = jnp.where(valid[:, None, None], inv_cov, 0.0)
@@ -161,3 +182,24 @@ def build_grid(
         ny=ny,
         resolution=resolution,
     )
+
+
+def build_grid(
+    xy: jnp.ndarray,
+    mask: jnp.ndarray,
+    center: jnp.ndarray,
+    nx: int,
+    ny: int,
+    resolution: float,
+    min_pts: int = 6,
+    eig_mult: float = 0.01,
+) -> NDTGrid:
+    """Single-device grid build: moments + finalize in one call.
+
+    xy: [N,2], mask: [N], center: [2] — the window recenters on `center`
+    every frame (the reference rebuilds its target grid per frame too,
+    src/PoseEstimator.cpp:17-19).
+    """
+    origin = grid_origin(center, nx, ny, resolution)
+    m = grid_moments(xy, mask, origin, nx, ny, resolution)
+    return grid_finalize(m, origin, nx, ny, resolution, min_pts, eig_mult)

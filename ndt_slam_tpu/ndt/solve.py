@@ -50,17 +50,32 @@ def align(
     step_size: float = 0.1,
     trans_eps: float = 0.01,
     radius: int = 1,
+    axis_name: str | None = None,
 ) -> NDTResult:
+    """Newton NDT solve. With `axis_name` set (inside shard_map), source
+    points are sharded along that mesh axis: every reduction (E, grad,
+    Hessian, matched, line-search scores) is psum'd so all devices run
+    the identical Newton iteration in lockstep — the SPMD pattern."""
+
+    def _reduce(*xs):
+        if axis_name is None:
+            return xs
+        return tuple(jax.lax.psum(x, axis_name) for x in xs)
+
     def score_at(pose):
         return ndt_negative_score(pose, src_xy, src_mask, grid, d1, d2, radius)
 
-    score_batch = jax.vmap(score_at)
+    def score_batch(poses):
+        s = jax.vmap(score_at)(poses)
+        (s,) = _reduce(s)
+        return s
 
     def body(state):
         pose, _prev_step, it, done = state
         E, g, H, matched = ndt_score_grad_hess(
             pose, src_xy, src_mask, grid, d1, d2, radius
         )
+        E, g, H, matched = _reduce(E, g, H, matched)
 
         # Levenberg ridge: make H positive definite AND well-conditioned
         # in float32 (a bare -lambda_min shift is singular at f32 and
@@ -111,7 +126,9 @@ def align(
     E, g, H, matched = ndt_score_grad_hess(
         pose, src_xy, src_mask, grid, d1, d2, radius
     )
+    E, g, H, matched = _reduce(E, g, H, matched)
     n_src = jnp.sum(src_mask.astype(jnp.float32))
+    (n_src,) = _reduce(n_src)
     usable = (matched >= 1.0) & (n_src >= 1.0) & jnp.all(jnp.isfinite(pose))
     return NDTResult(
         pose_rad=pose,
