@@ -1,0 +1,122 @@
+"""Benchmark: NDT scan-to-map registrations per second on one chip.
+
+Workload = the per-frame hot path at the reference's operating point
+(SURVEY.md §6.1: resolution 0.3 m, <=35 Newton iterations, step 0.1,
+eps 0.01): NDT grid build over a ~16k-point local map, Newton align of
+a ~1k-point source, MXU fitness pass. The reference has no published
+numbers (BASELINE.md), so `vs_baseline` is measured against this same
+workload on a single CPU core (XLA CPU, single-threaded), the
+reference's execution model (single-core PCL, SURVEY.md §2.3).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Measured on this machine's CPU (single core, XLA CPU backend,
+# identical workload via --cpu-baseline): see BASELINE.md.
+BASELINE_CPU_SCANS_PER_S = 2.47
+
+
+def _room_scan(n, pose=(0.0, 0.0, 0.0), noise=0.01, seed=0):
+    rng = np.random.default_rng(seed)
+    tx, ty, th = pose
+    angles = np.linspace(-np.pi, np.pi, n, endpoint=False)
+    wa = angles + th
+    dx, dy = np.cos(wa), np.sin(wa)
+    t = np.full(n, np.inf)
+    with np.errstate(divide="ignore"):
+        for lim, comp, sgn in [(5.0, dx, 1), (-5.0, dx, -1),
+                               (4.0, dy, 1), (-4.0, dy, -1)]:
+            off = tx if comp is dx else ty
+            tt = (lim - off) / comp
+            tt = np.where((comp * sgn > 1e-9) & (tt > 0), tt, np.inf)
+            t = np.minimum(t, tt)
+    t = t + noise * rng.standard_normal(n)
+    return np.stack([t * np.cos(angles), t * np.sin(angles)], 1).astype(np.float32)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer reps")
+    ap.add_argument("--cpu-baseline", action="store_true",
+                    help="run on CPU instead (to refresh the baseline)")
+    ap.add_argument("--reps", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.cpu_baseline:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_cpu_multi_thread_eigen=false"
+            " intra_op_parallelism_threads=1"
+        )
+
+    import jax
+    import jax.numpy as jnp
+
+    from ndt_slam_tpu.config import SlamConfig
+    from ndt_slam_tpu.core.points import pad_points
+    from ndt_slam_tpu.pipeline.frontend import _registration_step
+
+    platform = jax.devices()[0].platform
+
+    cfg = SlamConfig(
+        grid_cells_x=192, grid_cells_y=192,
+        ndt_min_points_per_cell=3,
+        max_scan_points=2048,
+    )
+
+    # Local map: several overlapping dense scans (~16k points), the
+    # registration target scale of a 10 m submap pair.
+    tgt_parts = [
+        _room_scan(4321, pose=(0.2 * i, 0.1 * i, 0.05 * i), seed=i)
+        for i in range(4)
+    ]
+    local = pad_points(np.concatenate(tgt_parts, 0), 32768)
+    scan = pad_points(_room_scan(1081, pose=(0.05, 0.03, 0.02), seed=9), 2048)
+
+    odo = jnp.asarray(np.array([0.05, 0.03, 1.5], np.float32))
+    prev = jnp.zeros(3, jnp.float32)
+    last = jnp.zeros(3, jnp.float32)
+    cov = jnp.eye(3, dtype=jnp.float32) * 1e-4
+
+    def run_once(shift):
+        # vary the odometry input so no cross-call caching can cheat
+        return _registration_step(
+            cfg, scan.xy, scan.mask, odo + shift, prev, last, cov,
+            local.xy, local.mask,
+        )
+
+    # compile + warm up
+    jax.block_until_ready(run_once(jnp.float32(0.0)))
+
+    reps = args.reps or (5 if args.quick else 30)
+    shifts = jnp.linspace(0.0, 1e-3, reps)
+    t0 = time.perf_counter()
+    outs = [run_once(shifts[i]) for i in range(reps)]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+
+    scans_per_s = reps / dt
+    result = {
+        "metric": f"ndt_register_scans_per_s_{platform}",
+        "value": round(scans_per_s, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_s / BASELINE_CPU_SCANS_PER_S, 2),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

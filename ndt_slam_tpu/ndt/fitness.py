@@ -17,6 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ndt_slam_tpu.core.vma import cast_to_vma, vma_of
+
 _BIG = 1.0e12
 
 
@@ -26,10 +28,15 @@ def nn_sq_dists(
     tgt_xy: jnp.ndarray,
     tgt_mask: jnp.ndarray,
     chunk: int = 4096,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Per-source-point squared distance to the nearest valid target.
 
     Returns [N] with _BIG for masked sources or when no targets exist.
+    With `axis_name` set (inside shard_map), the TARGET buffer is
+    sharded along that mesh axis: each device scans its target shard and
+    the per-source best is pmin'd, so every device ends with the global
+    nearest-neighbor distances (sources replicated).
     """
     n = src_xy.shape[0]
     m = tgt_xy.shape[0]
@@ -67,7 +74,13 @@ def nn_sq_dists(
         return best, None
 
     best0 = jnp.full((n,), _BIG, dtype=src_xy.dtype)
+    # carry vma = union of the body's inputs (no collectives inside)
+    best0 = cast_to_vma(
+        best0, vma_of(src_xy, src_mask, tgt_xy, tgt_mask)
+    )
     best, _ = jax.lax.scan(body, best0, (tgt_xy, tgt_mask))
+    if axis_name is not None:
+        best = jax.lax.pmin(best, axis_name)
     best = jnp.maximum(best, 0.0)  # numerical floor
     return jnp.where(src_mask, best, _BIG)
 
@@ -78,12 +91,35 @@ def fitness_score(
     tgt_xy: jnp.ndarray,
     tgt_mask: jnp.ndarray,
     chunk: int = 4096,
+    axis_name: str | None = None,
+    sharded: str = "sources",
 ) -> jnp.ndarray:
     """Mean squared NN distance over valid source points (PCL semantics:
-    no max-range cutoff, mean over all source points)."""
-    d2 = nn_sq_dists(src_xy, src_mask, tgt_xy, tgt_mask, chunk)
+    no max-range cutoff, mean over all source points).
+
+    With `axis_name` set (inside shard_map), `sharded` picks the layout:
+    - "sources": source points sharded, targets replicated — each device
+      scores its source shard and (total, n) are psum'd. This composes
+      with `align(axis_name=...)`, which shards sources the same way.
+    - "targets": targets sharded, sources replicated — per-source best
+      is pmin'd across devices (see nn_sq_dists).
+    - "both": sources AND targets sharded — targets are all_gather'd
+      (tiled) first, then source-sharded semantics. Peak memory is one
+      full target buffer per device; the gather rides ICI once per call.
+    """
+    if axis_name is not None and sharded == "both":
+        tgt_xy = jax.lax.all_gather(tgt_xy, axis_name, tiled=True)
+        tgt_mask = jax.lax.all_gather(tgt_mask, axis_name, tiled=True)
+        sharded = "sources"
+    tgt_axis = axis_name if sharded == "targets" else None
+    d2 = nn_sq_dists(src_xy, src_mask, tgt_xy, tgt_mask, chunk, tgt_axis)
     n = jnp.sum(src_mask.astype(src_xy.dtype))
     have_tgt = jnp.any(tgt_mask)
     total = jnp.sum(jnp.where(src_mask, d2, 0.0))
+    if axis_name is not None:
+        have_tgt = jax.lax.pmax(have_tgt, axis_name)
+        if sharded == "sources":
+            total = jax.lax.psum(total, axis_name)
+            n = jax.lax.psum(n, axis_name)
     mean = total / jnp.maximum(n, 1.0)
     return jnp.where((n > 0) & have_tgt, mean, _BIG)

@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ndt_slam_tpu.core.vma import cast_to_vma, vma_of
 from ndt_slam_tpu.ndt.grid import NDTGrid
 from ndt_slam_tpu.ndt.score import ndt_negative_score, ndt_score_grad_hess
 
@@ -118,7 +119,21 @@ def align(
         return (~done) & (it < max_iterations)
 
     pose0 = init_pose_rad.astype(jnp.float32)
-    state = (pose0, jnp.float32(1e9), jnp.int32(0), jnp.bool_(False))
+    # Inside shard_map the while_loop carry must carry the union of the
+    # inputs' varying-axes (vma) or the carry types won't match the body
+    # output (e.g. batched registration: psum over the point axis leaves
+    # results varying over the batch axis). No-op outside shard_map.
+    vma = vma_of(pose0, src_xy, grid.mean)
+    # psum over axis_name strips that axis from every body output, so
+    # the carry must not be varying over it (unless the init pose is).
+    if axis_name is not None:
+        vma -= {axis_name}
+        vma |= vma_of(pose0)
+    cast = lambda x: cast_to_vma(x, vma)
+    state = (
+        cast(pose0), cast(jnp.float32(1e9)),
+        cast(jnp.int32(0)), cast(jnp.bool_(False)),
+    )
     pose, _sn, it, _done = jax.lax.while_loop(cond, body, state)
 
     # Final derivatives at the converged pose (feeds the NDT covariance,

@@ -1,0 +1,212 @@
+"""Sharded NDT registration: the multi-chip compute path.
+
+The reference runs registration single-threaded on one CPU core
+(SURVEY.md §2.3). Here the same per-frame math is expressed once as an
+SPMD program over a `jax.sharding.Mesh`:
+
+- Point buffers (registration target and source) are sharded along the
+  "pt" mesh axis. The NDT grid build becomes: each device scatters its
+  target shard into per-cell partial moments, one `psum` merges them,
+  and every device finalizes an identical grid (ndt/grid.py split).
+- The Newton solve runs in lockstep: per-device partial score / grad /
+  Hessian / line-search reductions are psum'd (ndt/solve.py axis_name),
+  so all devices apply the same step every iteration.
+- Fitness all_gathers the target shard once and psums the per-shard
+  partial sums (ndt/fitness.py sharded="both").
+- Independent scan pairs (loop-closure candidate verification, batch
+  evaluation) additionally shard along the "dp" axis.
+
+All collectives are XLA named collectives over ICI — there is no
+host-side communication anywhere in the step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ndt_slam_tpu.config import SlamConfig
+from ndt_slam_tpu.core import pose2
+from ndt_slam_tpu.core.points import PAD_COORD
+from ndt_slam_tpu.fuse.ekf import fuse_pose, odometry_covariance
+from ndt_slam_tpu.ndt.fitness import fitness_score
+from ndt_slam_tpu.ndt.grid import grid_finalize, grid_moments, grid_origin
+from ndt_slam_tpu.ndt.score import gauss_constants
+from ndt_slam_tpu.ndt.solve import align
+
+
+class RegisterOut(NamedTuple):
+    pose_rad: jnp.ndarray    # [3] (or [B,3]) converged pose
+    cost: jnp.ndarray        # fitness (failed_cost when unusable)
+    converged: jnp.ndarray   # bool
+    iterations: jnp.ndarray  # int32
+    matched: jnp.ndarray     # float32
+    hessian: jnp.ndarray     # [3,3] objective Hessian at the optimum
+
+
+def _register_core(
+    cfg: SlamConfig,
+    axis: str | None,
+    src_xy, src_mask, tgt_xy, tgt_mask, init_pose_rad, center,
+) -> RegisterOut:
+    """One NDT registration (sharded over `axis` when set).
+
+    Mirrors pipeline/frontend._registration_step's registration slice;
+    reference call stack: src/PoseEstimator.cpp:4-69 (SURVEY.md §3.3).
+    """
+    nx, ny, res = cfg.grid_cells_x, cfg.grid_cells_y, cfg.ndt_resolution
+    origin = grid_origin(center, nx, ny, res)
+    mom = grid_moments(tgt_xy, tgt_mask, origin, nx, ny, res)
+    if axis is not None:
+        mom = tuple(jax.lax.psum(m, axis) for m in mom)
+    grid = grid_finalize(
+        mom, origin, nx, ny, res, min_pts=cfg.ndt_min_points_per_cell
+    )
+    d1, d2 = gauss_constants(cfg.ndt_resolution, cfg.ndt_outlier_ratio)
+
+    r = align(
+        init_pose_rad, src_xy, src_mask, grid, d1, d2,
+        max_iterations=cfg.ndt_max_iterations,
+        step_size=cfg.ndt_step_size,
+        trans_eps=cfg.ndt_trans_eps,
+        radius=cfg.ndt_neighborhood,
+        axis_name=axis,
+    )
+
+    pose_deg = pose2.pose_rad_to_deg(r.pose_rad)
+    src_map = pose2.global_points(pose_deg, src_xy)
+    src_map = jnp.where(src_mask[:, None], src_map, PAD_COORD)
+    fit = fitness_score(
+        src_map, src_mask, tgt_xy, tgt_mask,
+        axis_name=axis, sharded="both",
+    )
+    cost = jnp.where(r.converged, fit, cfg.failed_cost)
+    return RegisterOut(
+        pose_rad=r.pose_rad,
+        cost=cost,
+        converged=r.converged,
+        iterations=r.iterations,
+        matched=r.matched,
+        hessian=r.hessian,
+    )
+
+
+def make_sharded_register(mesh: Mesh, cfg: SlamConfig, axis: str = "pt"):
+    """Single-pair registration with point buffers sharded over `axis`.
+
+    Returns a jitted fn(src_xy, src_mask, tgt_xy, tgt_mask,
+    init_pose_rad, center) -> RegisterOut with replicated outputs.
+    Buffer capacities must divide the axis size.
+    """
+    pt = P(axis)
+    rep = P()
+    core = partial(_register_core, cfg, axis)
+    fn = jax.jit(
+        jax.shard_map(
+            core,
+            mesh=mesh,
+            in_specs=(pt, pt, pt, pt, rep, rep),
+            out_specs=RegisterOut(rep, rep, rep, rep, rep, rep),
+        )
+    )
+    return fn
+
+
+def make_batch_register(
+    mesh: Mesh, cfg: SlamConfig,
+    axis_batch: str = "dp", axis_points: str = "pt",
+):
+    """Batched pair registration: pairs sharded over `axis_batch`, each
+    pair's points sharded over `axis_points` — the loop-closure
+    candidate-verification workload (SURVEY.md §7.2 step 6), which is
+    embarrassingly parallel across pairs.
+
+    Returns a jitted fn(src_xy[B,N,2], src_mask[B,N], tgt_xy[B,M,2],
+    tgt_mask[B,M], init_pose_rad[B,3], center[B,2]) -> RegisterOut with
+    leading batch dim, replicated along the point axis.
+    """
+    bp = P(axis_batch, axis_points)
+    bm = P(axis_batch, axis_points)
+    brep = P(axis_batch)
+    core = jax.vmap(partial(_register_core, cfg, axis_points))
+    fn = jax.jit(
+        jax.shard_map(
+            core,
+            mesh=mesh,
+            in_specs=(bp, bm, bp, bm, brep, brep),
+            out_specs=RegisterOut(brep, brep, brep, brep, brep, brep),
+        )
+    )
+    return fn
+
+
+class FrameStepOut(NamedTuple):
+    est_pose: jnp.ndarray    # [B,3] NDT pose (deg)
+    fused_pose: jnp.ndarray  # [B,3] Kalman-fused pose (deg)
+    cov: jnp.ndarray         # [B,3,3]
+    cost: jnp.ndarray        # [B]
+    successful: jnp.ndarray  # [B] bool
+    iterations: jnp.ndarray  # [B]
+
+
+def make_sharded_frame_step(
+    mesh: Mesh, cfg: SlamConfig,
+    axis_batch: str = "dp", axis_points: str = "pt",
+):
+    """The FULL per-frame SLAM step, batched and sharded: odometry
+    prediction -> sharded NDT registration -> fitness accept/reject ->
+    NDT covariance from the Hessian -> Kalman fusion (reference
+    pipeline SURVEY.md §3.2-3.3), for a batch of independent frames.
+
+    dp shards the frame batch, pt shards every point buffer. This is
+    the function `__graft_entry__.dryrun_multichip` compiles.
+    """
+
+    def frame_core(src_xy, src_mask, tgt_xy, tgt_mask,
+                   odo_pose, prev_odo, last_pose, last_cov):
+        odo_motion = pose2.cal_motion(odo_pose, prev_odo)
+        pred_pose = pose2.cal_pred_pose(odo_motion, last_pose)
+        init_rad = pose2.pose_deg_to_rad(pred_pose)
+        r = _register_core(
+            cfg, axis_points,
+            src_xy, src_mask, tgt_xy, tgt_mask, init_rad, pred_pose[:2],
+        )
+        est_pose = pose2.pose_rad_to_deg(r.pose_rad)
+        successful = r.cost <= cfg.score_thre
+
+        H = r.hessian
+        H = jnp.where(jnp.all(jnp.isfinite(H)), H, jnp.eye(3, dtype=H.dtype))
+        evals, evecs = jnp.linalg.eigh(H)
+        inv_e = cfg.coe_ndt_cov / jnp.clip(evals, 1e-3, None)
+        q_mat = (evecs * inv_e[None, :]) @ evecs.T
+
+        fused_k, cov_k = fuse_pose(
+            pred_pose, est_pose, odo_motion, last_pose, last_cov,
+            q_mat, cfg.del_time, cfg.coe_vel, cfg.coe_omega,
+        )
+        cov_odo = odometry_covariance(
+            odo_motion, last_pose, last_cov,
+            cfg.del_time, cfg.coe_vel, cfg.coe_omega,
+        )
+        fused = jnp.where(successful, fused_k, pred_pose)
+        cov = jnp.where(successful, cov_k, cov_odo)
+        return FrameStepOut(
+            est_pose=est_pose, fused_pose=fused, cov=cov,
+            cost=r.cost, successful=successful, iterations=r.iterations,
+        )
+
+    bp = P(axis_batch, axis_points)
+    brep = P(axis_batch)
+    fn = jax.jit(
+        jax.shard_map(
+            jax.vmap(frame_core),
+            mesh=mesh,
+            in_specs=(bp, bp, bp, bp, brep, brep, brep, brep),
+            out_specs=FrameStepOut(brep, brep, brep, brep, brep, brep),
+        )
+    )
+    return fn
