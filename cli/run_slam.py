@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--start-frame", type=int)
     ap.add_argument("--end-frame", type=int)
     ap.add_argument("--sidelidar", action="store_true")
+    ap.add_argument("--loop", action="store_true",
+                    help="enable loop closure + pose-graph backend")
     ap.add_argument("--cpu", action="store_true", help="force CPU JAX")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
@@ -57,6 +59,8 @@ def main():
         overrides["end_frame"] = args.end_frame
     if args.sidelidar:
         overrides["sidelidar"] = True
+    if args.loop:
+        overrides["loop_enable"] = True
     cfg = SlamConfig().replace(**overrides)
 
     true_poses = None

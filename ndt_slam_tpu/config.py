@@ -41,6 +41,14 @@ class SlamConfig:
     source_leaf_size: float = 0.05  # ApproximateVoxelGrid leaf on source scan
     score_thre: float = 0.5         # accept iff fitness <= this (ScanMatcher.h:50)
     failed_cost: float = 1.0e7      # cost when not converged (PoseEstimator.cpp:44-46)
+    # Innovation gate (conscious addition over the reference, which
+    # gates on fitness alone, src/ScanMatcher.cpp:50-53): reject an NDT
+    # result that strays implausibly far from the odometry prediction —
+    # partially-symmetric environments admit distant false optima with
+    # locally-good fitness ("teleports"); a gated reject degrades to
+    # dead-reckoning exactly like a fitness reject.
+    max_innovation_trans: float = 1.0   # [m]
+    max_innovation_rot: float = 30.0    # [deg]
 
     # ---- fusion (reference: PoseFuser.h:20-22, PoseEstimator.h:65) ----
     del_time: float = 0.5           # frame interval [s]
@@ -71,7 +79,13 @@ class SlamConfig:
     loop_enable: bool = False
     loop_radius: float = 5.0           # candidate search radius [m]
     loop_min_frame_gap: int = 80       # min sid separation for a candidate
-    loop_score_thre: float = 0.3       # accept loop iff fitness <= this
+    loop_score_thre: float = 0.02      # accept iff trimmed mean NN d^2 <= this [m^2]
+    loop_match_dist: float = 0.4       # NN match cutoff for overlap/trim [m]
+    loop_min_overlap: float = 0.55     # min matched-source fraction to accept
+    loop_stage_mults: tuple = (4, 2, 1)  # coarse-to-fine resolution ladder
+    loop_max_candidates: int = 4       # verified per frame (batched)
+    loop_keyframe_skip: int = 5        # store a keyframe every N frames
+    loop_check_skip: int = 5           # attempt detection every N frames
     max_keyframes: int = 4096
     pgo_iterations: int = 20
 

@@ -74,8 +74,17 @@ def fuse_pose(
         [pred_pose_deg[0], pred_pose_deg[1], deg2rad(pred_pose_deg[2])]
     )
 
-    K = cov_hat @ jnp.linalg.inv(q_mat + cov_hat)
+    # Symmetrize + jitter the innovation covariance before solving:
+    # both terms can sit near the f32 noise floor (~1e-6 m^2) and a raw
+    # inverse of a noise-indefinite S produces unbounded gains. The
+    # reference does this math in f64 Eigen (src/PoseFuser.cpp:19),
+    # which masks the issue; at f32 the conditioning must be explicit.
+    S = q_mat + cov_hat
+    S = 0.5 * (S + S.T)
+    S = S + (1e-6 * jnp.trace(S) + 1e-9) * jnp.eye(3, dtype=S.dtype)
+    K = jnp.linalg.solve(S.T, cov_hat.T).T
     cov = (jnp.eye(3, dtype=cov_hat.dtype) - K) @ cov_hat
+    cov = 0.5 * (cov + cov.T)
 
     zh = jnp.stack(
         [

@@ -1,0 +1,194 @@
+"""Pose-graph SLAM backend: nodes, edges, loop detection, optimization.
+
+The reference's BackEnd/PoseGraph/LoopDetector are disabled scaffolding
+(reference: src/FrontEnd.cpp:21-44, CMakeLists.txt:74-87); this module
+makes them first-class. Every processed frame becomes a graph node
+(2 Hz scan rate — graphs stay small, SURVEY.md §7.3 item 6), odometry
+edges chain consecutive fused poses, and accepted loop closures add
+long-range edges. After each accepted loop the whole trajectory is
+re-optimized (graph/pose_graph.py) and the caller rewrites its pose
+history + map (PointCloudMap.remake_maps — the reference's
+commented-out remakeMaps semantics, src/PointCloudMap.cpp:136-171).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ndt_slam_tpu.config import SlamConfig
+from ndt_slam_tpu.core import pose2
+from ndt_slam_tpu.core.points import PointBuffer
+from ndt_slam_tpu.graph.keyframes import KeyframeStore
+from ndt_slam_tpu.graph.loop_closure import verify_candidates
+from ndt_slam_tpu.graph.pose_graph import PoseGraph, optimize
+
+_DEG = np.float32(np.pi / 180.0)
+
+
+def _pose_deg_to_rad(p):
+    return np.array([p[0], p[1], np.deg2rad(p[2])], np.float32)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class GraphBackend:
+    """Host-side bookkeeping + device-side verification/optimization."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.keyframes = KeyframeStore(cfg)
+        self.node_poses_rad: List[np.ndarray] = []   # per frame
+        self.node_sids: List[int] = []
+        self.edges: List[tuple] = []                  # (i, j, z_rad[3], omega[3,3])
+        self.loops_accepted = 0
+        self._last_scan: Optional[PointBuffer] = None
+
+    # ---- graph growth --------------------------------------------------
+    def add_frame(
+        self, sid: int, fused_pose_deg: np.ndarray,
+        cov_deg: np.ndarray, scan_local: PointBuffer,
+    ) -> int:
+        """Register a processed frame as a node; chain an odometry edge
+        from the previous node. cov_deg: fused covariance (deg units for
+        theta, reference convention SURVEY.md §6.3 item 1)."""
+        pose_rad = _pose_deg_to_rad(np.asarray(fused_pose_deg, np.float32))
+        node = len(self.node_poses_rad)
+        self.node_poses_rad.append(pose_rad)
+        self.node_sids.append(int(sid))
+        self._last_scan = scan_local
+
+        if node > 0:
+            prev_deg = self._pose_rad_to_deg(self.node_poses_rad[node - 1])
+            z_deg = np.asarray(
+                pose2.cal_motion(
+                    jnp.asarray(fused_pose_deg, jnp.float32),
+                    jnp.asarray(prev_deg, jnp.float32),
+                )
+            )
+            z_rad = _pose_deg_to_rad(z_deg)
+            omega = self._odom_information(np.asarray(cov_deg))
+            self.edges.append((node - 1, node, z_rad, omega))
+
+        if node % max(1, self.cfg.loop_keyframe_skip) == 0:
+            self.keyframes.add(sid, fused_pose_deg, scan_local)
+        return node
+
+    @staticmethod
+    def _pose_rad_to_deg(p):
+        return np.array([p[0], p[1], np.rad2deg(p[2])], np.float32)
+
+    def _odom_information(self, cov_deg: np.ndarray) -> np.ndarray:
+        """3x3 information for an odometry edge, radians; floor the
+        covariance so near-zero EKF covariances don't over-pin edges."""
+        J = np.diag([1.0, 1.0, float(_DEG)])
+        cov_rad = J @ np.asarray(cov_deg, np.float64) @ J.T
+        cov_rad += np.diag([1e-4, 1e-4, (0.2 * _DEG) ** 2])
+        return np.linalg.inv(cov_rad).astype(np.float32)
+
+    # ---- loop closure --------------------------------------------------
+    def try_close(
+        self, sid: int, fused_pose_deg: np.ndarray,
+        scan_local: PointBuffer,
+    ) -> Optional[np.ndarray]:
+        """Detect + verify + optimize. Returns corrected per-frame poses
+        [n_frames, 3] (degrees) when a loop was accepted, else None."""
+        cfg = self.cfg
+        cand = self.keyframes.candidates(
+            np.asarray(fused_pose_deg), sid,
+            max_candidates=cfg.loop_max_candidates,
+        )
+        if not cand:
+            return None
+
+        B = cfg.loop_max_candidates
+        S = scan_local.xy.shape[0]
+        tgt_xy = np.zeros((B, S, 2), np.float32)
+        tgt_mask = np.zeros((B, S), bool)
+        init = np.zeros((B, 3), np.float32)
+        for b, k in enumerate(cand):
+            tgt_xy[b] = self.keyframes.scan_xy[k][:S]
+            tgt_mask[b] = self.keyframes.scan_mask[k][:S]
+            rel_deg = np.asarray(
+                pose2.cal_motion(
+                    jnp.asarray(fused_pose_deg, jnp.float32),
+                    jnp.asarray(self.keyframes.poses_deg[k], jnp.float32),
+                )
+            )
+            init[b] = _pose_deg_to_rad(rel_deg)
+
+        out = verify_candidates(
+            cfg, scan_local.xy, scan_local.mask,
+            jnp.asarray(tgt_xy), jnp.asarray(tgt_mask), jnp.asarray(init),
+        )
+        accepted = np.array(out.accepted, copy=True)
+        accepted[len(cand):] = False
+        if not accepted.any():
+            return None
+
+        sid_rows = {s: i for i, s in enumerate(self.node_sids)}
+        cur_node = sid_rows[sid]
+        for b in np.nonzero(accepted)[0]:
+            k = cand[b]
+            old_node = sid_rows.get(self.keyframes.sids[k])
+            if old_node is None:
+                continue
+            z_rad = np.asarray(out.rel_pose_rad[b], np.float32)
+            # Information from the fine-stage objective Hessian (the
+            # reference takes Q = (-H)^-1 * coe, src/PoseEstimator.cpp:52-64;
+            # here H of E is already the information shape). Floor the
+            # eigenvalues for safety.
+            H = np.asarray(out.hessian[b], np.float64)
+            w, V = np.linalg.eigh((H + H.T) / 2)
+            w = np.clip(w, 1.0, 1e6)
+            omega = (V * w) @ V.T
+            self.edges.append(
+                (old_node, cur_node, z_rad, omega.astype(np.float32))
+            )
+            self.loops_accepted += 1
+
+        return self.optimize_all()
+
+    # ---- optimization --------------------------------------------------
+    def optimize_all(self) -> np.ndarray:
+        """Run GN over the whole graph; update node poses and keyframe
+        poses; return corrected per-frame poses (degrees)."""
+        cfg = self.cfg
+        n = len(self.node_poses_rad)
+        e = len(self.edges)
+        N = _next_pow2(max(n, 16))
+        E = _next_pow2(max(e, 16))
+
+        poses = np.zeros((N, 3), np.float32)
+        poses[:n] = np.stack(self.node_poses_rad)
+        nm = np.zeros(N, bool); nm[:n] = True
+        ii = np.zeros(E, np.int32); jj = np.zeros(E, np.int32)
+        zz = np.zeros((E, 3), np.float32)
+        om = np.zeros((E, 3, 3), np.float32)
+        em = np.zeros(E, bool)
+        for t, (i, j, z, w) in enumerate(self.edges):
+            ii[t], jj[t], zz[t], om[t], em[t] = i, j, z, w, True
+
+        g = PoseGraph(
+            poses_rad=jnp.asarray(poses), node_mask=jnp.asarray(nm),
+            idx_i=jnp.asarray(ii), idx_j=jnp.asarray(jj),
+            z_rad=jnp.asarray(zz), omega=jnp.asarray(om),
+            edge_mask=jnp.asarray(em),
+        )
+        new_poses, _chi2 = optimize(g, iterations=cfg.pgo_iterations)
+        new_poses = np.asarray(new_poses)[:n]
+        self.node_poses_rad = [p.copy() for p in new_poses]
+
+        out_deg = np.stack([self._pose_rad_to_deg(p) for p in new_poses])
+        self.keyframes.update_poses(
+            out_deg,
+            lambda s: {v: i for i, v in enumerate(self.node_sids)}.get(s),
+        )
+        return out_deg

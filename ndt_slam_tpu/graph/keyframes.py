@@ -1,0 +1,71 @@
+"""Keyframe store for loop-closure detection.
+
+The reference's LoopDetector/RefScanMaker are removed scaffolding
+(SURVEY.md §0); this is the TPU-era replacement. Scans are kept as
+fixed-shape padded buffers stacked host-side so any candidate subset
+can be shipped to the device as one batched array (the loop verifier
+is batched NDT registration — embarrassingly parallel).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ndt_slam_tpu.config import SlamConfig
+from ndt_slam_tpu.core.points import PointBuffer
+
+
+class KeyframeStore:
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.sids: List[int] = []
+        self.poses_deg: List[np.ndarray] = []   # fused pose at store time
+        self.scan_xy: List[np.ndarray] = []     # [S,2] local frame, padded
+        self.scan_mask: List[np.ndarray] = []   # [S]
+
+    def __len__(self) -> int:
+        return len(self.sids)
+
+    def add(self, sid: int, pose_deg: np.ndarray, scan: PointBuffer):
+        self.sids.append(int(sid))
+        self.poses_deg.append(np.asarray(pose_deg, np.float32).copy())
+        self.scan_xy.append(np.asarray(scan.xy, np.float32))
+        self.scan_mask.append(np.asarray(scan.mask, bool))
+
+    def update_poses(self, poses_deg: np.ndarray, sid_to_row):
+        """Refresh stored poses after a pose-graph correction.
+        `sid_to_row` maps a keyframe sid to its row in poses_deg."""
+        for k, sid in enumerate(self.sids):
+            row = sid_to_row(sid)
+            if row is not None:
+                self.poses_deg[k] = np.asarray(
+                    poses_deg[row], np.float32
+                ).copy()
+
+    def candidates(
+        self, cur_pose_deg: np.ndarray, cur_sid: int,
+        radius: float | None = None, min_gap: int | None = None,
+        max_candidates: int | None = None,
+    ) -> List[int]:
+        """Keyframe indices within `radius` of the current pose and at
+        least `min_gap` frames old, nearest first (reference analog:
+        the removed LoopDetector's pose-proximity search)."""
+        if not self.sids:
+            return []
+        radius = self.cfg.loop_radius if radius is None else radius
+        min_gap = (
+            self.cfg.loop_min_frame_gap if min_gap is None else min_gap
+        )
+        poses = np.stack(self.poses_deg)
+        d = np.hypot(
+            poses[:, 0] - cur_pose_deg[0], poses[:, 1] - cur_pose_deg[1]
+        )
+        sids = np.asarray(self.sids)
+        ok = (d <= radius) & (cur_sid - sids >= min_gap)
+        idx = np.nonzero(ok)[0]
+        idx = idx[np.argsort(d[idx])]
+        if max_candidates is not None:
+            idx = idx[:max_candidates]
+        return idx.tolist()

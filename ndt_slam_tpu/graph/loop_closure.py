@@ -1,0 +1,115 @@
+"""Loop-closure candidate verification: batched coarse-to-fine NDT.
+
+The reference's LoopDetector exists only as commented-out scaffolding
+(reference: src/FrontEnd.cpp:21-44; SURVEY.md §0). Design here:
+
+- A candidate = (old keyframe scan, current scan, initial relative pose
+  from the current trajectory estimate). Verification = NDT-register
+  current against old; accept iff fitness <= loop_score_thre.
+- Loop-closure initial errors are far larger than odometry-prediction
+  errors, outside plain NDT's basin (~1 cell). So registration is
+  COARSE-TO-FINE: first a grid at `coarse_mult` x resolution (wide,
+  smooth basin, big steps), then the standard grid refines. Same
+  physical window both stages.
+- All candidates verify in one batched (vmapped) program — the
+  embarrassingly parallel fan-out that motivates batched/dp execution
+  on TPU (SURVEY.md §2.3); shard the batch axis via
+  parallel.make_batch_register for multi-chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ndt_slam_tpu.config import SlamConfig
+from ndt_slam_tpu.core import pose2
+from ndt_slam_tpu.core.points import PAD_COORD
+from ndt_slam_tpu.ndt.icp import icp_refine
+from ndt_slam_tpu.ndt.grid import build_grid
+from ndt_slam_tpu.ndt.score import gauss_constants
+from ndt_slam_tpu.ndt.solve import align
+
+
+class LoopVerifyOut(NamedTuple):
+    rel_pose_rad: jnp.ndarray  # [B,3] measured relative pose (old -> cur)
+    cost: jnp.ndarray          # [B] trimmed mean NN d^2 over matched pts
+    overlap: jnp.ndarray       # [B] matched-source fraction
+    accepted: jnp.ndarray      # [B] overlap & cost gates & converged
+    hessian: jnp.ndarray       # [B,3,3] information of the fine stage
+
+
+def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
+                init_rel_rad):
+    """Register src (current scan, its own frame) against tgt (old
+    keyframe scan, old frame); init_rel_rad = initial guess of the
+    old->cur relative pose."""
+    nx, ny = cfg.grid_cells_x, cfg.grid_cells_y
+    res = cfg.ndt_resolution
+    center = init_rel_rad[:2]
+
+    # Resolution ladder (e.g. 4x -> 2x -> 1x): each stage's basin must
+    # contain the previous stage's residual error; jumping straight
+    # from metres of initial error to the fine grid's ~1-cell basin
+    # fails (fine NDT cells from cm-noise scans are sharp).
+    pose = init_rel_rad
+    rf = None
+    for mult in cfg.loop_stage_mults:
+        nxs, nys = max(16, nx // mult), max(16, ny // mult)
+        gs = build_grid(
+            tgt_xy, tgt_mask, center, nxs, nys, res * mult,
+            min_pts=cfg.ndt_min_points_per_cell,
+        )
+        d1s, d2s = gauss_constants(res * mult, cfg.ndt_outlier_ratio)
+        rf = align(
+            pose, src_xy, src_mask, gs, d1s, d2s,
+            max_iterations=cfg.ndt_max_iterations,
+            step_size=cfg.ndt_step_size * mult,
+            trans_eps=cfg.ndt_trans_eps * min(mult, 2),
+            radius=cfg.ndt_neighborhood,
+        )
+        pose = rf.pose_rad
+
+    # Precision finisher: trimmed point-to-point ICP (ndt/icp.py). The
+    # NDT ladder's fine optimum can sit a fraction of a cell off for
+    # sparse single-scan targets; ICP converges to the unbiased metric
+    # alignment and yields the overlap/error gate quantities directly.
+    icp = icp_refine(
+        pose, src_xy, src_mask, tgt_xy, tgt_mask,
+        match_dist=cfg.loop_match_dist, iterations=10,
+    )
+    overlap = icp.matched_frac
+    cost = jnp.where(rf.converged, icp.mean_sq_err, cfg.failed_cost)
+    accepted = (
+        rf.converged
+        & (overlap >= cfg.loop_min_overlap)
+        & (cost <= cfg.loop_score_thre)
+    )
+    return LoopVerifyOut(
+        rel_pose_rad=icp.pose_rad, cost=cost, overlap=overlap,
+        accepted=accepted, hessian=rf.hessian,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def verify_candidates(
+    cfg: SlamConfig,
+    src_xy: jnp.ndarray,     # [S,2] current scan (local frame)
+    src_mask: jnp.ndarray,   # [S]
+    tgt_xy: jnp.ndarray,     # [B,T,2] candidate keyframe scans
+    tgt_mask: jnp.ndarray,   # [B,T]
+    init_rel_rad: jnp.ndarray,  # [B,3]
+) -> LoopVerifyOut:
+    """Batched coarse-to-fine verification of B candidates."""
+    one = partial(_verify_one, cfg)
+    return jax.vmap(one, in_axes=(None, None, 0, 0, 0))(
+        src_xy, src_mask, tgt_xy, tgt_mask, init_rel_rad
+    )
+
+
+def relative_pose_deg(pose_a_deg, pose_b_deg):
+    """b expressed in a's frame, degrees (init guess for verification)."""
+    return pose2.cal_motion(pose_b_deg, pose_a_deg)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ndt_slam_tpu.config import SlamConfig
 from ndt_slam_tpu.core import pose2
+from ndt_slam_tpu.core.angles import sub_deg
 from ndt_slam_tpu.core.points import PointBuffer, PAD_COORD, pad_points
 from ndt_slam_tpu.pre import resample_points_np
 from ndt_slam_tpu.mapping.voxel import voxel_filter
@@ -97,7 +98,16 @@ def _registration_step(
     src_map = jnp.where(src.mask[:, None], src_map, PAD_COORD)
     fit = fitness_score(src_map, src.mask, local_xy, local_mask)
     cost = jnp.where(res.converged, fit, cfg.failed_cost)
-    successful = cost <= cfg.score_thre
+    # innovation gate vs the prediction (see SlamConfig.max_innovation_*)
+    innov_t = jnp.hypot(
+        est_pose[0] - pred_pose[0], est_pose[1] - pred_pose[1]
+    )
+    innov_r = jnp.abs(sub_deg(est_pose[2], pred_pose[2]))
+    plausible = (
+        (innov_t <= cfg.max_innovation_trans)
+        & (innov_r <= cfg.max_innovation_rot)
+    )
+    successful = (cost <= cfg.score_thre) & plausible
 
     # --- NDT covariance Q = H^-1 * coe (reference: src/PoseEstimator.cpp:52-64;
     #     our H is the Hessian of E = -score, i.e. already "-H" there).
@@ -110,6 +120,13 @@ def _registration_step(
     H = jnp.where(jnp.all(jnp.isfinite(H)), H, jnp.eye(3, dtype=H.dtype))
     evals, evecs = jnp.linalg.eigh(H)
     inv_e = cfg.coe_ndt_cov / jnp.clip(evals, 1e-3, None)
+    # Cap Q's variances into [1e-6, 1e-2] (1 mm .. 10 cm std): a saddle
+    # Hessian (negative eigenvalue -> clipped curvature -> ~1e3
+    # variance) reconstructed next to ~1e-6 confident directions is so
+    # ill-conditioned that f32 reconstruction noise makes Q indefinite
+    # and the Kalman gain explodes (observed: |K| ~ 45, a 2.8 m fused
+    # teleport). Bounded conditioning keeps Q PSD to f32 accuracy.
+    inv_e = jnp.clip(inv_e, 1e-6, 1e-2)
     q_mat = (evecs * inv_e[None, :]) @ evecs.T
 
     # --- fuse or dead-reckon (reference: src/ScanMatcher.cpp:60-66)
@@ -121,7 +138,18 @@ def _registration_step(
         odo_motion, last_pose, last_cov,
         cfg.del_time, cfg.coe_vel, cfg.coe_omega,
     )
-    accept = successful
+    # The fused pose must also stay within the innovation gate — a
+    # pathological gain can move it far even when est is plausible.
+    fused_t = jnp.hypot(
+        fused_k[0] - pred_pose[0], fused_k[1] - pred_pose[1]
+    )
+    fused_r = jnp.abs(sub_deg(fused_k[2], pred_pose[2]))
+    fused_ok = (
+        (fused_t <= cfg.max_innovation_trans)
+        & (fused_r <= cfg.max_innovation_rot)
+        & jnp.all(jnp.isfinite(fused_k))
+    )
+    accept = successful & fused_ok
     fused = jnp.where(accept, fused_k, pred_pose)
     cov = jnp.where(accept, cov_k, cov_odo)
 
@@ -160,6 +188,10 @@ class FrontEnd:
         self.pose_history: list[np.ndarray] = []
         self.cov_history: list[np.ndarray] = []
         self.metrics: list[dict] = []
+        self.backend = None
+        if cfg.loop_enable:
+            from ndt_slam_tpu.graph.backend import GraphBackend
+            self.backend = GraphBackend(cfg)
 
     def process(self, scan_xy_local: np.ndarray, odo_pose_deg: np.ndarray,
                 sid: Optional[int] = None) -> dict:
@@ -194,6 +226,8 @@ class FrontEnd:
                 "bootstrap": True,
             }
             self._record(fused, cov, rec)
+            if self.backend is not None:
+                self.backend.add_frame(sid, fused, cov, scan)
             return rec
 
         local = self.pcmap.registration_target()
@@ -220,7 +254,27 @@ class FrontEnd:
             "error_pose": np.asarray(out.error_pose).tolist(),
         }
         self._record(fused, cov, rec)
+
+        # ---- pose-graph backend (loop closure) -------------------------
+        if self.backend is not None:
+            self.backend.add_frame(sid, fused, cov, scan)
+            if (self.cnt - 1) % max(1, cfg.loop_check_skip) == 0:
+                corrected = self.backend.try_close(sid, fused, scan)
+                if corrected is not None:
+                    self._apply_correction(corrected)
+                    rec["loop_closed"] = True
         return rec
+
+    def _apply_correction(self, corrected_deg: np.ndarray):
+        """Rewrite trajectory + map through pose-graph-corrected poses
+        (reference: the disabled remakePoseArray/remakeMaps path,
+        src/ScanMatcher.h:83-101, src/PointCloudMap.cpp:136-171)."""
+        n = len(self.pose_history)
+        assert corrected_deg.shape[0] == n, (corrected_deg.shape, n)
+        self.pose_history = [
+            corrected_deg[i].astype(np.float32) for i in range(n)
+        ]
+        self.pcmap.remake_maps(corrected_deg)
 
     # reference: ScanMatcher::growMap (src/ScanMatcher.cpp:93-117)
     def _grow_map(self, scan_map_frame: PointBuffer, fused_pose, rs_local):

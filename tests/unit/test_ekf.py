@@ -59,7 +59,8 @@ def test_fuse_pose_blend():
     fused_ref = np.array([mu[0], mu[1], mu[2] / D2R])
 
     assert np.allclose(fused, fused_ref, atol=1e-5)
-    assert np.allclose(cov, cov_ref, rtol=1e-4, atol=1e-9)
+    # fuse_pose adds a deliberate 1e-6*trace jitter to S for f32 stability
+    assert np.allclose(cov, cov_ref, rtol=2e-3, atol=1e-9)
     # fused pose lies between prediction and measurement
     assert pred[0] <= fused[0] <= est[0]
 
