@@ -74,8 +74,13 @@ def main():
             from ndt_slam_tpu.io.carmen import read_carmen_log
             frames = read_carmen_log(args.log)
         else:
+            from ndt_slam_tpu.io import native
             from ndt_slam_tpu.io.tsukuba import read_tsukuba_log
-            frames = read_tsukuba_log(args.log, sidelidar=cfg.sidelidar)
+            frames = native.read_tsukuba_log(
+                args.log, sidelidar=cfg.sidelidar
+            )
+            if frames is None:
+                frames = read_tsukuba_log(args.log, sidelidar=cfg.sidelidar)
     else:
         ap.error("need --log or --simulate")
 

@@ -38,6 +38,11 @@ class SlamConfig:
     ndt_outlier_ratio: float = 0.55  # Gaussian-mixture outlier mass (PCL default)
     ndt_min_points_per_cell: int = 6  # PCL VoxelGridCovariance default
     ndt_neighborhood: int = 1       # cell search radius: 0 -> 1 cell, 1 -> 3x3
+    # Engine: "compact" = gather-free [points x valid-cells] broadcast
+    # engine (ndt/compact.py, the TPU-fast path); "gather" = dense-
+    # window neighbor-gather engine (ndt/score.py). Identical semantics.
+    ndt_engine: str = "compact"
+    ndt_max_active_cells: int = 2048  # compact-table capacity (valid cells)
     source_leaf_size: float = 0.05  # ApproximateVoxelGrid leaf on source scan
     score_thre: float = 0.5         # accept iff fitness <= this (ScanMatcher.h:50)
     failed_cost: float = 1.0e7      # cost when not converged (PoseEstimator.cpp:44-46)
@@ -104,6 +109,9 @@ class SlamConfig:
 
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "SlamConfig":

@@ -29,6 +29,7 @@ from ndt_slam_tpu.config import SlamConfig
 from ndt_slam_tpu.core import pose2
 from ndt_slam_tpu.core.points import PAD_COORD
 from ndt_slam_tpu.ndt.icp import icp_refine
+from ndt_slam_tpu.ndt.compact import compact_grid
 from ndt_slam_tpu.ndt.grid import build_grid
 from ndt_slam_tpu.ndt.score import gauss_constants
 from ndt_slam_tpu.ndt.solve import align
@@ -63,6 +64,8 @@ def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
             tgt_xy, tgt_mask, center, nxs, nys, res * mult,
             min_pts=cfg.ndt_min_points_per_cell,
         )
+        if cfg.ndt_engine == "compact":
+            gs = compact_grid(gs, cfg.ndt_max_active_cells)
         d1s, d2s = gauss_constants(res * mult, cfg.ndt_outlier_ratio)
         rf = align(
             pose, src_xy, src_mask, gs, d1s, d2s,

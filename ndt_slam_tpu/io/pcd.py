@@ -24,6 +24,17 @@ DATA ascii
 
 
 def save_pcd(path: str, xy: np.ndarray):
+    # native fast path (csrc/libndtslam.so), identical output format
+    from ndt_slam_tpu.io import native
+    try:
+        if native.save_pcd(path, np.asarray(xy)):
+            return
+    except OSError:
+        pass
+    _save_pcd_py(path, xy)
+
+
+def _save_pcd_py(path: str, xy: np.ndarray):
     xy = np.asarray(xy, dtype=np.float32).reshape(-1, 2)
     with open(path, "w") as f:
         f.write(_HEADER.format(n=xy.shape[0]))

@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from ndt_slam_tpu.core.vma import cast_to_vma, vma_of
+from ndt_slam_tpu.ndt.compact import (
+    CompactGrid,
+    ndt_negative_score_compact,
+    ndt_score_grad_hess_compact,
+)
 from ndt_slam_tpu.ndt.grid import NDTGrid
 from ndt_slam_tpu.ndt.score import ndt_negative_score, ndt_score_grad_hess
 
@@ -63,8 +68,18 @@ def align(
             return xs
         return tuple(jax.lax.psum(x, axis_name) for x in xs)
 
+    # Engine dispatch: CompactGrid -> gather-free [N,K] broadcast engine
+    # (ndt/compact.py, the TPU-fast path); NDTGrid -> dense-window
+    # neighbor-gather engine (ndt/score.py).
+    if isinstance(grid, CompactGrid):
+        _score = ndt_negative_score_compact
+        _sgh = ndt_score_grad_hess_compact
+    else:
+        _score = ndt_negative_score
+        _sgh = ndt_score_grad_hess
+
     def score_at(pose):
-        return ndt_negative_score(pose, src_xy, src_mask, grid, d1, d2, radius)
+        return _score(pose, src_xy, src_mask, grid, d1, d2, radius)
 
     def score_batch(poses):
         s = jax.vmap(score_at)(poses)
@@ -73,7 +88,7 @@ def align(
 
     def body(state):
         pose, _prev_step, it, done = state
-        E, g, H, matched = ndt_score_grad_hess(
+        E, g, H, matched = _sgh(
             pose, src_xy, src_mask, grid, d1, d2, radius
         )
         E, g, H, matched = _reduce(E, g, H, matched)
@@ -123,7 +138,8 @@ def align(
     # inputs' varying-axes (vma) or the carry types won't match the body
     # output (e.g. batched registration: psum over the point axis leaves
     # results varying over the batch axis). No-op outside shard_map.
-    vma = vma_of(pose0, src_xy, grid.mean)
+    gref = grid.mx if isinstance(grid, CompactGrid) else grid.mean
+    vma = vma_of(pose0, src_xy, gref)
     # psum over axis_name strips that axis from every body output, so
     # the carry must not be varying over it (unless the init pose is).
     if axis_name is not None:
@@ -138,7 +154,7 @@ def align(
 
     # Final derivatives at the converged pose (feeds the NDT covariance,
     # reference: src/PoseEstimator.cpp:52-64).
-    E, g, H, matched = ndt_score_grad_hess(
+    E, g, H, matched = _sgh(
         pose, src_xy, src_mask, grid, d1, d2, radius
     )
     E, g, H, matched = _reduce(E, g, H, matched)

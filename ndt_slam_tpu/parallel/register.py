@@ -34,6 +34,7 @@ from ndt_slam_tpu.core import pose2
 from ndt_slam_tpu.core.points import PAD_COORD
 from ndt_slam_tpu.fuse.ekf import fuse_pose, odometry_covariance
 from ndt_slam_tpu.ndt.fitness import fitness_score
+from ndt_slam_tpu.ndt.compact import compact_grid
 from ndt_slam_tpu.ndt.grid import grid_finalize, grid_moments, grid_origin
 from ndt_slam_tpu.ndt.score import gauss_constants
 from ndt_slam_tpu.ndt.solve import align
@@ -66,6 +67,9 @@ def _register_core(
     grid = grid_finalize(
         mom, origin, nx, ny, res, min_pts=cfg.ndt_min_points_per_cell
     )
+    if cfg.ndt_engine == "compact":
+        # identical (post-psum) grid on every device -> identical table
+        grid = compact_grid(grid, cfg.ndt_max_active_cells)
     d1, d2 = gauss_constants(cfg.ndt_resolution, cfg.ndt_outlier_ratio)
 
     r = align(

@@ -1,0 +1,216 @@
+"""Checkpoint / exact resume of a running SLAM session.
+
+The reference has no mid-run state save — outputs are final-only
+(SURVEY.md §5: poses text + PCDs at end of run, src/SlamLauncher.cpp:
+113-126). For long multi-host runs this framework checkpoints the
+complete FrontEnd state keyed by frame index and resumes EXACTLY:
+the resumed trajectory is bit-identical to an uninterrupted run
+(enforced by tests/integration/test_checkpoint.py).
+
+Format: a single .npz (numpy archive) holding every array, plus a JSON
+manifest for scalars/structure. Everything is host-side numpy at rest;
+device buffers are rebuilt on load. No orbax dependency — state is a
+few MB of flat arrays and the .npz keeps it dependency-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ndt_slam_tpu.config import SlamConfig
+from ndt_slam_tpu.core.points import PointBuffer
+from ndt_slam_tpu.mapping.pointcloud_map import Submap
+from ndt_slam_tpu.pipeline.frontend import FrontEnd
+
+
+def _buf_np(buf: Optional[PointBuffer]):
+    if buf is None:
+        return None
+    return np.asarray(buf.xy), np.asarray(buf.mask)
+
+
+def save_checkpoint(fe: FrontEnd, path: str) -> None:
+    """Write the complete FrontEnd state to `path` (.npz)."""
+    arrays = {}
+    meta = {
+        "cnt": fe.cnt,
+        "has_prev_odo": fe.prev_odo is not None,
+        "has_init_pose": fe.init_pose is not None,
+        "metrics": fe.metrics,
+        "cfg": {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in fe.cfg.to_dict().items()
+        },
+        "pcmap": {
+            "atd": fe.pcmap.atd,
+            "has_last_scan": fe.pcmap.last_scan is not None,
+            "n_submaps": len(fe.pcmap.submaps),
+            "submaps": [],
+        },
+        "backend": None,
+    }
+
+    if fe.prev_odo is not None:
+        arrays["prev_odo"] = np.asarray(fe.prev_odo)
+    if fe.init_pose is not None:
+        arrays["init_pose"] = np.asarray(fe.init_pose)
+    arrays["last_cov"] = np.asarray(fe.last_cov)
+    arrays["pose_history"] = (
+        np.stack(fe.pose_history) if fe.pose_history
+        else np.zeros((0, 3), np.float32)
+    )
+    arrays["cov_history"] = (
+        np.stack(fe.cov_history) if fe.cov_history
+        else np.zeros((0, 3, 3), np.float32)
+    )
+
+    pm = fe.pcmap
+    arrays["pcmap_poses"] = (
+        np.stack(pm.poses) if pm.poses else np.zeros((0, 3), np.float32)
+    )
+    arrays["pcmap_last_pose"] = np.asarray(pm.last_pose)
+    if pm.last_scan is not None:
+        arrays["pcmap_last_scan_xy"], arrays["pcmap_last_scan_mask"] = (
+            _buf_np(pm.last_scan)
+        )
+    for i, s in enumerate(pm.local_scans):
+        arrays[f"local_scan_{i}"] = np.asarray(s)
+    meta["pcmap"]["n_local_scans"] = len(pm.local_scans)
+
+    for si, sm in enumerate(pm.submaps):
+        sd = {
+            "atd_s": sm.atd_s, "cnt_s": sm.cnt_s, "cnt_e": sm.cnt_e,
+            "n_scans": sm.n_scans, "is_first": sm.is_first,
+            "n_raw": len(sm.raw),
+            "has_final": sm.final_cloud is not None,
+        }
+        meta["pcmap"]["submaps"].append(sd)
+        arrays[f"sm{si}_proc_xy"], arrays[f"sm{si}_proc_mask"] = (
+            _buf_np(sm.proc)
+        )
+        arrays[f"sm{si}_proc_count"] = np.asarray(sm.proc_count)
+        for ri, rb in enumerate(sm.raw):
+            arrays[f"sm{si}_raw{ri}_xy"], arrays[f"sm{si}_raw{ri}_mask"] = (
+                _buf_np(rb)
+            )
+        if sm.final_cloud is not None:
+            arrays[f"sm{si}_final_xy"], arrays[f"sm{si}_final_mask"] = (
+                _buf_np(sm.final_cloud)
+            )
+
+    if fe.backend is not None:
+        be = fe.backend
+        meta["backend"] = {
+            "node_sids": be.node_sids,
+            "n_edges": len(be.edges),
+            "loops_accepted": be.loops_accepted,
+            "kf_sids": be.keyframes.sids,
+        }
+        arrays["be_node_poses"] = (
+            np.stack(be.node_poses_rad) if be.node_poses_rad
+            else np.zeros((0, 3), np.float32)
+        )
+        for ei, (i, j, z, om) in enumerate(be.edges):
+            arrays[f"be_edge_{ei}"] = np.concatenate(
+                [np.array([i, j], np.float32), z, om.reshape(-1)]
+            )
+        kf = be.keyframes
+        if kf.sids:
+            arrays["kf_poses"] = np.stack(kf.poses_deg)
+            arrays["kf_scan_xy"] = np.stack(kf.scan_xy)
+            arrays["kf_scan_mask"] = np.stack(kf.scan_mask)
+
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, manifest=json.dumps(meta), **arrays)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None) -> FrontEnd:
+    """Rebuild a FrontEnd from a checkpoint; resumes exactly."""
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["manifest"]))
+    if cfg is None:
+        cfg_d = dict(meta["cfg"])
+        for k, v in list(cfg_d.items()):
+            if isinstance(v, list):
+                cfg_d[k] = tuple(v)
+        cfg = SlamConfig.from_dict(cfg_d)
+
+    fe = FrontEnd(cfg)
+    fe.cnt = int(meta["cnt"])
+    fe.metrics = list(meta["metrics"])
+    if meta["has_prev_odo"]:
+        fe.prev_odo = np.asarray(data["prev_odo"], np.float32)
+    if meta["has_init_pose"]:
+        fe.init_pose = np.asarray(data["init_pose"], np.float32)
+    fe.last_cov = jnp.asarray(data["last_cov"])
+    fe.pose_history = [p for p in np.asarray(data["pose_history"])]
+    fe.cov_history = [c for c in np.asarray(data["cov_history"])]
+
+    pm = fe.pcmap
+    pm.atd = float(meta["pcmap"]["atd"])
+    pm.poses = [p for p in np.asarray(data["pcmap_poses"])]
+    pm.last_pose = np.asarray(data["pcmap_last_pose"], np.float32)
+    if meta["pcmap"]["has_last_scan"]:
+        pm.last_scan = PointBuffer(
+            jnp.asarray(data["pcmap_last_scan_xy"]),
+            jnp.asarray(data["pcmap_last_scan_mask"]),
+        )
+    pm.local_scans = [
+        np.asarray(data[f"local_scan_{i}"])
+        for i in range(meta["pcmap"]["n_local_scans"])
+    ]
+
+    pm.submaps = []
+    for si, sd in enumerate(meta["pcmap"]["submaps"]):
+        sm = Submap(cfg, float(sd["atd_s"]), int(sd["cnt_s"]))
+        sm.cnt_e = sd["cnt_e"]
+        sm.n_scans = int(sd["n_scans"])
+        sm.is_first = bool(sd["is_first"])
+        sm.proc = PointBuffer(
+            jnp.asarray(data[f"sm{si}_proc_xy"]),
+            jnp.asarray(data[f"sm{si}_proc_mask"]),
+        )
+        sm.proc_count = jnp.asarray(data[f"sm{si}_proc_count"])
+        sm.raw = [
+            PointBuffer(
+                jnp.asarray(data[f"sm{si}_raw{ri}_xy"]),
+                jnp.asarray(data[f"sm{si}_raw{ri}_mask"]),
+            )
+            for ri in range(int(sd["n_raw"]))
+        ]
+        if sd["has_final"]:
+            sm.final_cloud = PointBuffer(
+                jnp.asarray(data[f"sm{si}_final_xy"]),
+                jnp.asarray(data[f"sm{si}_final_mask"]),
+            )
+        pm.submaps.append(sm)
+
+    if meta["backend"] is not None and fe.backend is not None:
+        bm = meta["backend"]
+        be = fe.backend
+        be.node_sids = [int(s) for s in bm["node_sids"]]
+        be.node_poses_rad = [
+            p.astype(np.float32) for p in np.asarray(data["be_node_poses"])
+        ]
+        be.loops_accepted = int(bm["loops_accepted"])
+        be.edges = []
+        for ei in range(int(bm["n_edges"])):
+            flat = np.asarray(data[f"be_edge_{ei}"])
+            be.edges.append((
+                int(flat[0]), int(flat[1]),
+                flat[2:5].astype(np.float32),
+                flat[5:14].reshape(3, 3).astype(np.float32),
+            ))
+        kf = be.keyframes
+        kf.sids = [int(s) for s in bm["kf_sids"]]
+        if kf.sids:
+            kf.poses_deg = [p for p in np.asarray(data["kf_poses"])]
+            kf.scan_xy = [x for x in np.asarray(data["kf_scan_xy"])]
+            kf.scan_mask = [m for m in np.asarray(data["kf_scan_mask"])]
+    return fe

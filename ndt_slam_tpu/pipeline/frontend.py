@@ -36,6 +36,7 @@ from ndt_slam_tpu.core.points import PointBuffer, PAD_COORD, pad_points
 from ndt_slam_tpu.pre import resample_points_np
 from ndt_slam_tpu.mapping.voxel import voxel_filter
 from ndt_slam_tpu.mapping.pointcloud_map import PointCloudMap
+from ndt_slam_tpu.ndt.compact import compact_grid
 from ndt_slam_tpu.ndt.grid import build_grid
 from ndt_slam_tpu.ndt.score import gauss_constants
 from ndt_slam_tpu.ndt.solve import align
@@ -80,6 +81,8 @@ def _registration_step(
         cfg.grid_cells_x, cfg.grid_cells_y, cfg.ndt_resolution,
         min_pts=cfg.ndt_min_points_per_cell,
     )
+    if cfg.ndt_engine == "compact":
+        grid = compact_grid(grid, cfg.ndt_max_active_cells)
     d1, d2 = gauss_constants(cfg.ndt_resolution, cfg.ndt_outlier_ratio)
 
     init_rad = pose2.pose_deg_to_rad(pred_pose)
@@ -203,7 +206,8 @@ class FrontEnd:
         if sid < cfg.start_frame:
             return {"sid": sid, "skipped": True}
 
-        rs = resample_points_np(
+        from ndt_slam_tpu.io.native import resample_points
+        rs = resample_points(
             scan_xy_local, cfg.resample_space, cfg.resample_space_thre
         )
         scan = pad_points(rs, cfg.max_scan_points)
