@@ -46,10 +46,16 @@ def voxel_filter(buf: PointBuffer, leaf: float) -> PointBuffer:
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1        # [-1 .. nseg-1]
     seg = jnp.where(svalid, jnp.clip(seg, 0, n - 1), n)  # dump invalid
 
+    # Single fused scatter of (1, x, y) rows — one pass instead of three.
     ones = svalid.astype(buf.xy.dtype)
-    cnt = jax.ops.segment_sum(ones, seg, num_segments=n + 1)[:n]
-    sx = jax.ops.segment_sum(jnp.where(svalid, sxy[:, 0], 0.0), seg, num_segments=n + 1)[:n]
-    sy = jax.ops.segment_sum(jnp.where(svalid, sxy[:, 1], 0.0), seg, num_segments=n + 1)[:n]
+    rows = jnp.stack(
+        [ones,
+         jnp.where(svalid, sxy[:, 0], 0.0),
+         jnp.where(svalid, sxy[:, 1], 0.0)],
+        axis=-1,
+    )
+    acc = jax.ops.segment_sum(rows, seg, num_segments=n + 1)[:n]
+    cnt, sx, sy = acc[:, 0], acc[:, 1], acc[:, 2]
 
     valid = cnt > 0
     d = jnp.maximum(cnt, 1.0)

@@ -122,17 +122,15 @@ def grid_moments(
     cy = ci[:, 1].astype(xy.dtype) * resolution + origin[1]
     xr = jnp.where(ok, xy[:, 0] - cx, 0.0)
     yr = jnp.where(ok, xy[:, 1] - cy, 0.0)
+    # One fused scatter of all six moments ([N,6] rows) — six separate
+    # segment_sum calls would serialize six scatter passes on TPU.
     ones = ok.astype(xy.dtype)
-    count = jax.ops.segment_sum(ones, cid, num_segments=num_cells + 1)
-    sx = jax.ops.segment_sum(xr, cid, num_segments=num_cells + 1)
-    sy = jax.ops.segment_sum(yr, cid, num_segments=num_cells + 1)
-    sxx = jax.ops.segment_sum(xr * xr, cid, num_segments=num_cells + 1)
-    sxy = jax.ops.segment_sum(xr * yr, cid, num_segments=num_cells + 1)
-    syy = jax.ops.segment_sum(yr * yr, cid, num_segments=num_cells + 1)
-
-    count = count[:num_cells]
-    sx, sy = sx[:num_cells], sy[:num_cells]
-    sxx, sxy, syy = sxx[:num_cells], sxy[:num_cells], syy[:num_cells]
+    rows = jnp.stack(
+        [ones, xr, yr, xr * xr, xr * yr, yr * yr], axis=-1
+    )
+    acc = jax.ops.segment_sum(rows, cid, num_segments=num_cells + 1)
+    acc = acc[:num_cells]
+    count, sx, sy, sxx, sxy, syy = (acc[:, i] for i in range(6))
     return count, sx, sy, sxx, sxy, syy
 
 
