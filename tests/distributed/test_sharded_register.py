@@ -21,9 +21,15 @@ from ndt_slam_tpu.parallel import (
 )
 
 
+# Tight convergence (trans_eps 1e-4 vs the reference's 0.01): at the
+# reference epsilon the Newton loop STOPS once the step is < 1cm, so the
+# returned pose is only determined to ~1e-3 and f32 shard-order roundoff
+# can legitimately shift the stopping iteration (5 vs 6). Comparing the
+# tightly-converged optimum makes shard-invariance well-defined (~1e-6).
 CFG = SlamConfig(
     grid_cells_x=64, grid_cells_y=64,
-    ndt_min_points_per_cell=3, ndt_max_iterations=30,
+    ndt_min_points_per_cell=3, ndt_max_iterations=80,
+    ndt_trans_eps=1e-4,
 )
 
 
