@@ -70,14 +70,14 @@ def main() -> int:
 
     platform = jax.devices()[0].platform
 
-    # Best engine per platform: the compact [N,K] broadcast engine is
-    # the TPU-fast path; single-core CPU prefers the gather engine
+    # Best engine per platform: the fused Pallas kernels are the
+    # TPU-fast path; single-core CPU prefers the gather engine
     # (measured 2.47 vs 1.03 scans/s), so the baseline uses it.
     cfg = SlamConfig(
         grid_cells_x=192, grid_cells_y=192,
         ndt_min_points_per_cell=3,
         max_scan_points=2048,
-        ndt_engine="gather" if args.cpu_baseline else "compact",
+        ndt_engine="gather" if args.cpu_baseline else "pallas",
         ndt_max_active_cells=1024,
     )
 

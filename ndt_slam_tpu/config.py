@@ -39,7 +39,9 @@ class SlamConfig:
     ndt_min_points_per_cell: int = 6  # PCL VoxelGridCovariance default
     ndt_neighborhood: int = 1       # cell search radius: 0 -> 1 cell, 1 -> 3x3
     # Engine: "compact" = gather-free [points x valid-cells] broadcast
-    # engine (ndt/compact.py, the TPU-fast path); "gather" = dense-
+    # engine (ndt/compact.py); "pallas" = same math as fused Pallas TPU
+    # kernels with VMEM-resident pair intermediates (pallas_kernels.py,
+    # the TPU-fast path — interpret-mode on CPU); "gather" = dense-
     # window neighbor-gather engine (ndt/score.py). Identical semantics.
     ndt_engine: str = "compact"
     ndt_max_active_cells: int = 2048  # compact-table capacity (valid cells)

@@ -57,6 +57,7 @@ def align(
     trans_eps: float = 0.01,
     radius: int = 1,
     axis_name: str | None = None,
+    use_pallas: bool = False,
 ) -> NDTResult:
     """Newton NDT solve. With `axis_name` set (inside shard_map), source
     points are sharded along that mesh axis: every reduction (E, grad,
@@ -69,22 +70,37 @@ def align(
         return tuple(jax.lax.psum(x, axis_name) for x in xs)
 
     # Engine dispatch: CompactGrid -> gather-free [N,K] broadcast engine
-    # (ndt/compact.py, the TPU-fast path); NDTGrid -> dense-window
-    # neighbor-gather engine (ndt/score.py).
-    if isinstance(grid, CompactGrid):
-        _score = ndt_negative_score_compact
-        _sgh = ndt_score_grad_hess_compact
+    # (ndt/compact.py), optionally as fused Pallas kernels
+    # (ndt/pallas_kernels.py — VMEM-resident pair pass, the TPU-fast
+    # path); NDTGrid -> dense-window neighbor-gather engine (score.py).
+    if isinstance(grid, CompactGrid) and use_pallas:
+        from ndt_slam_tpu.ndt.pallas_kernels import (
+            ndt_score_grad_hess_pallas, ndt_scores_pallas,
+        )
+        _score = None
+        _sgh = ndt_score_grad_hess_pallas
+
+        def score_batch(poses):
+            s = ndt_scores_pallas(
+                poses, src_xy, src_mask, grid, d1, d2, radius
+            )
+            (s,) = _reduce(s)
+            return s
     else:
-        _score = ndt_negative_score
-        _sgh = ndt_score_grad_hess
+        if isinstance(grid, CompactGrid):
+            _score = ndt_negative_score_compact
+            _sgh = ndt_score_grad_hess_compact
+        else:
+            _score = ndt_negative_score
+            _sgh = ndt_score_grad_hess
 
-    def score_at(pose):
-        return _score(pose, src_xy, src_mask, grid, d1, d2, radius)
+        def score_at(pose):
+            return _score(pose, src_xy, src_mask, grid, d1, d2, radius)
 
-    def score_batch(poses):
-        s = jax.vmap(score_at)(poses)
-        (s,) = _reduce(s)
-        return s
+        def score_batch(poses):
+            s = jax.vmap(score_at)(poses)
+            (s,) = _reduce(s)
+            return s
 
     def body(state):
         pose, _prev_step, it, done = state

@@ -67,7 +67,7 @@ def _register_core(
     grid = grid_finalize(
         mom, origin, nx, ny, res, min_pts=cfg.ndt_min_points_per_cell
     )
-    if cfg.ndt_engine == "compact":
+    if cfg.ndt_engine in ("compact", "pallas"):
         # identical (post-psum) grid on every device -> identical table
         grid = compact_grid(grid, cfg.ndt_max_active_cells)
     d1, d2 = gauss_constants(cfg.ndt_resolution, cfg.ndt_outlier_ratio)
@@ -79,6 +79,7 @@ def _register_core(
         trans_eps=cfg.ndt_trans_eps,
         radius=cfg.ndt_neighborhood,
         axis_name=axis,
+        use_pallas=cfg.ndt_engine == "pallas",
     )
 
     pose_deg = pose2.pose_rad_to_deg(r.pose_rad)
@@ -136,6 +137,11 @@ def make_batch_register(
     bp = P(axis_batch, axis_points)
     bm = P(axis_batch, axis_points)
     brep = P(axis_batch)
+    if cfg.ndt_engine == "pallas":
+        # vmap over the Pallas kernels would add a batch grid dimension
+        # (untested path); the broadcast engine vmaps cleanly and the
+        # math is identical.
+        cfg = cfg.replace(ndt_engine="compact")
     core = jax.vmap(partial(_register_core, cfg, axis_points))
     fn = jax.jit(
         jax.shard_map(
@@ -169,6 +175,8 @@ def make_sharded_frame_step(
     dp shards the frame batch, pt shards every point buffer. This is
     the function `__graft_entry__.dryrun_multichip` compiles.
     """
+    if cfg.ndt_engine == "pallas":
+        cfg = cfg.replace(ndt_engine="compact")  # see make_batch_register
 
     def frame_core(src_xy, src_mask, tgt_xy, tgt_mask,
                    odo_pose, prev_odo, last_pose, last_cov):

@@ -81,7 +81,8 @@ def _registration_step(
         cfg.grid_cells_x, cfg.grid_cells_y, cfg.ndt_resolution,
         min_pts=cfg.ndt_min_points_per_cell,
     )
-    if cfg.ndt_engine == "compact":
+    use_pallas = cfg.ndt_engine == "pallas"
+    if cfg.ndt_engine in ("compact", "pallas"):
         grid = compact_grid(grid, cfg.ndt_max_active_cells)
     d1, d2 = gauss_constants(cfg.ndt_resolution, cfg.ndt_outlier_ratio)
 
@@ -92,6 +93,7 @@ def _registration_step(
         step_size=cfg.ndt_step_size,
         trans_eps=cfg.ndt_trans_eps,
         radius=cfg.ndt_neighborhood,
+        use_pallas=use_pallas,
     )
     est_pose = pose2.pose_rad_to_deg(res.pose_rad)
 
@@ -99,7 +101,11 @@ def _registration_step(
     #     the downsampled source, src/PoseEstimator.cpp:42-46)
     src_map = pose2.global_points(est_pose, src.xy)
     src_map = jnp.where(src.mask[:, None], src_map, PAD_COORD)
-    fit = fitness_score(src_map, src.mask, local_xy, local_mask)
+    if use_pallas:
+        from ndt_slam_tpu.ndt.pallas_kernels import fitness_score_pallas
+        fit = fitness_score_pallas(src_map, src.mask, local_xy, local_mask)
+    else:
+        fit = fitness_score(src_map, src.mask, local_xy, local_mask)
     cost = jnp.where(res.converged, fit, cfg.failed_cost)
     # innovation gate vs the prediction (see SlamConfig.max_innovation_*)
     innov_t = jnp.hypot(
