@@ -16,10 +16,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ndt_slam_tpu.core.points import PointBuffer, PAD_COORD
 
-_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# Host scalar, not jnp: a module-level jnp constant lives on the
+# default device and stalls jit lowering over a remote-TPU tunnel.
+_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def voxel_keys(xy: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> jnp.ndarray:

@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ndt_slam_tpu.core.vma import cast_to_vma, vma_of
 from ndt_slam_tpu.ndt.compact import (
@@ -33,7 +34,10 @@ from ndt_slam_tpu.ndt.grid import NDTGrid
 from ndt_slam_tpu.ndt.score import ndt_negative_score, ndt_score_grad_hess
 
 # Candidate step-length scales evaluated in parallel each iteration.
-_LS_SCALES = jnp.array([1.0, 0.5, 0.25, 0.1, 0.04, 0.015], dtype=jnp.float32)
+# NB: a host (numpy) constant, NOT jnp — a module-level jnp.array lives
+# on the default device and jit lowering must fetch its value back to
+# embed it in MLIR, which stalls for minutes over a remote-TPU tunnel.
+_LS_SCALES = np.array([1.0, 0.5, 0.25, 0.1, 0.04, 0.015], dtype=np.float32)
 
 
 class NDTResult(NamedTuple):
