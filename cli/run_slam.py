@@ -33,6 +33,15 @@ def main():
     ap.add_argument("--sidelidar", action="store_true")
     ap.add_argument("--loop", action="store_true",
                     help="enable loop closure + pose-graph backend")
+    ap.add_argument("--checkpoint",
+                    help="checkpoint file (.npz) to save SLAM state to")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save the checkpoint every N frames (0 = only "
+                         "at the end, when --checkpoint is given)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint if it exists")
+    ap.add_argument("--profile",
+                    help="write a jax.profiler trace to this directory")
     ap.add_argument("--cpu", action="store_true", help="force CPU JAX")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
@@ -89,6 +98,10 @@ def main():
         frames, cfg, out_dir=args.out,
         metrics_path=os.path.join(args.out, "metrics.jsonl"),
         verbose=args.verbose,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+        profile_dir=args.profile,
     )
 
     summary = {

@@ -23,31 +23,77 @@ def run_slam(
     out_dir: Optional[str] = None,
     metrics_path: Optional[str] = None,
     verbose: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    profile_dir: Optional[str] = None,
 ) -> FrontEnd:
     """Run the full pipeline over frames (objects with .odo_pose and
     .scan_xy, e.g. io.simulate.Frame or io.tsukuba.LogFrame).
 
     Mirrors SlamLauncher::loop_wait: stop after cfg.end_frame frames,
     then write the pose file and the global + per-submap PCD maps.
+
+    Beyond the reference (which only writes final outputs,
+    src/SlamLauncher.cpp:113-126): with `checkpoint_path` the complete
+    SLAM state is saved every `checkpoint_every` frames (and at the
+    end); with `resume=True` an existing checkpoint is loaded and the
+    already-processed prefix of `frames` is skipped, resuming exactly.
+    With `profile_dir`, the run is wrapped in a `jax.profiler` trace.
     """
-    fe = FrontEnd(cfg)
+    resume_skip = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        from ndt_slam_tpu.pipeline.checkpoint import load_checkpoint
+        fe = load_checkpoint(checkpoint_path, cfg)
+        resume_skip = fe.cnt
+        if verbose:
+            print(f"[runner] resumed from {checkpoint_path} "
+                  f"(frames processed: {resume_skip})")
+    else:
+        fe = FrontEnd(cfg)
+    if checkpoint_path and checkpoint_every:
+        from ndt_slam_tpu.pipeline.checkpoint import save_checkpoint
+    profiling = False
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+        profiling = True
     jl = JsonlWriter(metrics_path)
     t0 = time.perf_counter()
     n = 0
-    for cnt, fr in enumerate(frames, start=1):
-        if cnt > cfg.end_frame:
-            break
-        sid = getattr(fr, "sid", None)
-        if sid is None:
-            sid = getattr(fr, "stamp", cnt - 1)
-        rec = fe.process(fr.scan_xy, fr.odo_pose, sid=sid)
-        rec["wall_s"] = time.perf_counter() - t0
-        jl.write(rec)
-        n += 1
-        if verbose and cnt % 50 == 0:
-            print(f"[runner] frame {cnt} cost={rec.get('cost', 0):.4f} "
-                  f"ok={rec.get('successful')}")
-    jl.close()
+    try:
+        for cnt, fr in enumerate(frames, start=1):
+            if cnt > cfg.end_frame:
+                break
+            sid = getattr(fr, "sid", None)
+            if sid is None:
+                sid = getattr(fr, "stamp", cnt - 1)
+            # On resume, skip the prefix the checkpoint already covers:
+            # fe.cnt counts only frames past start_frame, and frames
+            # below start_frame are no-ops either way.
+            if sid < cfg.start_frame:
+                continue
+            if n < resume_skip:
+                n += 1
+                continue
+            rec = fe.process(fr.scan_xy, fr.odo_pose, sid=sid)
+            rec["wall_s"] = time.perf_counter() - t0
+            jl.write(rec)
+            n += 1
+            if checkpoint_path and checkpoint_every \
+                    and n % checkpoint_every == 0:
+                save_checkpoint(fe, checkpoint_path)
+            if verbose and cnt % 50 == 0:
+                print(f"[runner] frame {cnt} cost={rec.get('cost', 0):.4f} "
+                      f"ok={rec.get('successful')}")
+    finally:
+        if profiling:
+            import jax
+            jax.profiler.stop_trace()
+        jl.close()
+    if checkpoint_path and n > resume_skip:
+        from ndt_slam_tpu.pipeline.checkpoint import save_checkpoint
+        save_checkpoint(fe, checkpoint_path)
 
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
