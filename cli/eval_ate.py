@@ -68,10 +68,23 @@ def main() -> int:
     if n == 0:
         print(json.dumps({"error": "empty trajectory"}))
         return 1
+    dropped = max(len(est), len(ref)) - n
+    if dropped > max(2, 0.02 * n):
+        # A large length mismatch usually means misaligned inputs (a
+        # start_frame>0 run vs full ground truth, mismatched decimation
+        # offsets) — the truncated comparison would silently compare
+        # the wrong frames.
+        print(
+            f"[eval_ate] WARNING: trajectory lengths differ by {dropped} "
+            f"frames ({len(est)} vs {len(ref)}); comparing the first {n} "
+            "pairwise — verify the inputs cover the same frames",
+            file=sys.stderr,
+        )
     est, ref = est[:n], ref[:n]
 
     out = {
         "frames": n,
+        "dropped_frames": dropped,
         "ate_rmse_m": ate_rmse(est, ref, align=not args.no_align),
     }
     if args.rpe_delta > 0 and n > args.rpe_delta:

@@ -56,6 +56,12 @@ class SlamConfig:
     # dead-reckoning exactly like a fitness reject.
     max_innovation_trans: float = 1.0   # [m]
     max_innovation_rot: float = 30.0    # [deg]
+    # NDT target assembly. False (default) = previous submap's closed
+    # cloud + the current submap's UNFILTERED cloud (documented
+    # deviation, see PointCloudMap.registration_target); True = exact
+    # reference semantics (voxel-filtered current submap,
+    # src/PointCloudMap.cpp:119-134) for parity experiments.
+    ndt_target_filtered: bool = False
 
     # ---- fusion (reference: PoseFuser.h:20-22, PoseEstimator.h:65) ----
     del_time: float = 0.5           # frame interval [s]

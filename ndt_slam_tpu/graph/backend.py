@@ -49,7 +49,6 @@ class GraphBackend:
         self.node_sids: List[int] = []
         self.edges: List[tuple] = []                  # (i, j, z_rad[3], omega[3,3])
         self.loops_accepted = 0
-        self._last_scan: Optional[PointBuffer] = None
 
     # ---- graph growth --------------------------------------------------
     def add_frame(
@@ -63,7 +62,6 @@ class GraphBackend:
         node = len(self.node_poses_rad)
         self.node_poses_rad.append(pose_rad)
         self.node_sids.append(int(sid))
-        self._last_scan = scan_local
 
         if node > 0:
             prev_deg = self._pose_rad_to_deg(self.node_poses_rad[node - 1])

@@ -198,9 +198,12 @@ class PointCloudMap:
         during the first scans of a submap. On TPU the filter saves
         nothing, so the grid gets the raw accumulated cloud (denser,
         better-conditioned covariances); exports still use the filtered
-        `local_map()` for output parity.
+        `local_map()` for output parity. Set cfg.ndt_target_filtered
+        for the exact reference assembly (= local_map()).
         """
         cfg = self.cfg
+        if cfg.ndt_target_filtered:
+            return self.local_map()
         cur = self.submaps[-1].cloud()
         if len(self.submaps) >= 2:
             prev = self.submaps[-2].final_cloud

@@ -65,9 +65,10 @@ def _rel(a, b):
 
 
 class JsonlWriter:
-    def __init__(self, path: Optional[str]):
+    def __init__(self, path: Optional[str], append: bool = False):
         self.path = path
-        self._f = open(path, "w") if path else None
+        mode = "a" if append else "w"
+        self._f = open(path, mode) if path else None
 
     def write(self, rec: dict):
         if self._f:

@@ -125,29 +125,6 @@ def fitness_score(
     return jnp.where((n > 0) & have_tgt, mean, _BIG)
 
 
-def overlap_fitness(
-    src_xy: jnp.ndarray,
-    src_mask: jnp.ndarray,
-    tgt_xy: jnp.ndarray,
-    tgt_mask: jnp.ndarray,
-    match_dist: float,
-    chunk: int = 4096,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Overlap-robust match quality: (overlap, trimmed_cost).
-
-    overlap = fraction of valid source points whose NN is within
-    `match_dist`; trimmed_cost = mean squared NN distance over those
-    matched points only. Plain fitness (PCL getFitnessScore semantics,
-    no cutoff) is the right accept metric for odometry-rate scan-to-map
-    steps, but for loop-closure candidates — two vantage points metres
-    apart — the non-overlapping scan tails dominate the untrimmed mean
-    and drown the signal; this is the metric the loop verifier gates on.
-    """
-    d2 = nn_sq_dists(src_xy, src_mask, tgt_xy, tgt_mask, chunk)
-    matched = src_mask & (d2 < match_dist * match_dist)
-    n_valid = jnp.sum(src_mask.astype(jnp.float32))
-    n_match = jnp.sum(matched.astype(jnp.float32))
-    overlap = n_match / jnp.maximum(n_valid, 1.0)
-    trimmed = jnp.sum(jnp.where(matched, d2, 0.0)) / jnp.maximum(n_match, 1.0)
-    trimmed = jnp.where(n_match > 0, trimmed, _BIG)
-    return overlap, trimmed
+# (An `overlap_fitness` helper once lived here; the trimmed-ICP loop
+# verifier (ndt/icp.py) computes its overlap/trim gates itself, so the
+# helper was removed rather than kept as dead code.)

@@ -130,16 +130,42 @@ def save_checkpoint(fe: FrontEnd, path: str) -> None:
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None) -> FrontEnd:
-    """Rebuild a FrontEnd from a checkpoint; resumes exactly."""
+def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None,
+                    strict: bool = True) -> FrontEnd:
+    """Rebuild a FrontEnd from a checkpoint; resumes exactly.
+
+    When `cfg` is passed it must match the checkpoint's stored config
+    (`strict=True`, default): capacities size every restored buffer and
+    start_frame anchors the resume-skip count, so a silent mismatch
+    breaks the exact-resume guarantee. Pass strict=False to knowingly
+    override (e.g. changing only output/diagnostic knobs).
+    """
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["manifest"]))
+    stored = dict(meta["cfg"])
+    for k, v in list(stored.items()):
+        if isinstance(v, list):
+            stored[k] = tuple(v)
     if cfg is None:
-        cfg_d = dict(meta["cfg"])
-        for k, v in list(cfg_d.items()):
-            if isinstance(v, list):
-                cfg_d[k] = tuple(v)
-        cfg = SlamConfig.from_dict(cfg_d)
+        cfg = SlamConfig.from_dict(stored)
+    elif strict:
+        # end_frame/draw_skip only steer the outer loop — changing them
+        # is the normal "resume and run further" case, not a mismatch.
+        exempt = {"end_frame", "draw_skip"}
+        diff = {
+            k: (stored.get(k), v)
+            for k, v in cfg.to_dict().items()
+            if k not in exempt and stored.get(k) != v
+        }
+        if diff:
+            raise ValueError(
+                f"config mismatch vs checkpoint {path}: "
+                + ", ".join(
+                    f"{k}: checkpoint={a!r} requested={b!r}"
+                    for k, (a, b) in sorted(diff.items())
+                )
+                + " (pass strict=False to override)"
+            )
 
     fe = FrontEnd(cfg)
     fe.cnt = int(meta["cnt"])

@@ -54,6 +54,9 @@ class FrameResult(NamedTuple):
     matched: jnp.ndarray      # float32
     global_xy: jnp.ndarray    # [N,2] scan in map frame at fused pose
     error_pose: jnp.ndarray   # [3] map->odom offset (deg), TF parity
+    trans_probability: jnp.ndarray  # score per source point (PCL
+    # getTransformationProbability analog, logged by the reference at
+    # src/PoseEstimator.cpp:48-49; our objective E = -score sum)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -170,6 +173,9 @@ def _registration_step(
     # --- TF map->odom parity (reference: src/ScanMatcher.cpp:82-84)
     error_pose = pose2.cal_global_motion(fused, odo_pose)
 
+    n_src = jnp.sum(src.mask.astype(jnp.float32))
+    trans_prob = -res.objective / jnp.maximum(n_src, 1.0)
+
     return FrameResult(
         est_pose=est_pose,
         fused_pose=fused,
@@ -180,6 +186,7 @@ def _registration_step(
         matched=res.matched,
         global_xy=g,
         error_pose=error_pose,
+        trans_probability=trans_prob,
     )
 
 
@@ -193,6 +200,11 @@ class FrontEnd:
         self.cnt = 0
         self.prev_odo: Optional[np.ndarray] = None
         self.last_cov = jnp.zeros((3, 3), dtype=jnp.float32)
+        # Device-resident carries: avoid re-uploading the last fused
+        # pose / previous odometry every frame (each host->device
+        # dispatch is a full round trip over a remote-TPU tunnel).
+        self._last_pose_dev: Optional[jnp.ndarray] = None
+        self._prev_odo_dev: Optional[jnp.ndarray] = None
         self.init_pose: Optional[np.ndarray] = None
         self.pose_history: list[np.ndarray] = []
         self.cov_history: list[np.ndarray] = []
@@ -229,6 +241,8 @@ class FrontEnd:
             self._grow_map(PointBuffer(g, scan.mask), fused, rs)
             self.last_cov = jnp.asarray(cov)
             self.prev_odo = odo
+            self._last_pose_dev = jnp.asarray(fused)
+            self._prev_odo_dev = jnp.asarray(odo)
             self.cnt += 1
             rec = {
                 "sid": sid, "cost": 0.0, "successful": True,
@@ -241,27 +255,46 @@ class FrontEnd:
             return rec
 
         local = self.pcmap.registration_target()
+        odo_dev = jnp.asarray(odo)
+        prev_odo_dev = (
+            self._prev_odo_dev if self._prev_odo_dev is not None
+            else jnp.asarray(self.prev_odo)
+        )
+        last_pose_dev = (
+            self._last_pose_dev if self._last_pose_dev is not None
+            else jnp.asarray(self.pcmap.get_last_pose())
+        )
         out = _registration_step(
             cfg, scan.xy, scan.mask,
-            jnp.asarray(odo), jnp.asarray(self.prev_odo),
-            jnp.asarray(self.pcmap.get_last_pose()), self.last_cov,
+            odo_dev, prev_odo_dev,
+            last_pose_dev, self.last_cov,
             local.xy, local.mask,
         )
-        fused = np.asarray(out.fused_pose)
-        cov = np.asarray(out.cov)
+        # One batched transfer for every small per-frame output (a
+        # field-by-field np.asarray costs one device round trip EACH).
+        fused, cov, cost, successful, est, iters, matched, err, tprob = (
+            jax.device_get((
+                out.fused_pose, out.cov, out.cost, out.successful,
+                out.est_pose, out.iterations, out.matched,
+                out.error_pose, out.trans_probability,
+            ))
+        )
         self.last_cov = out.cov
+        self._last_pose_dev = out.fused_pose
+        self._prev_odo_dev = odo_dev
         self._grow_map(PointBuffer(out.global_xy, scan.mask), fused, rs)
         self.prev_odo = odo
         self.cnt += 1
         rec = {
             "sid": sid,
-            "cost": float(out.cost),
-            "successful": bool(out.successful),
-            "est_pose": np.asarray(out.est_pose).tolist(),
-            "fused_pose": fused.tolist(),
-            "iterations": int(out.iterations),
-            "matched": float(out.matched),
-            "error_pose": np.asarray(out.error_pose).tolist(),
+            "cost": float(cost),
+            "successful": bool(successful),
+            "est_pose": np.asarray(est).tolist(),
+            "fused_pose": np.asarray(fused).tolist(),
+            "iterations": int(iters),
+            "matched": float(matched),
+            "error_pose": np.asarray(err).tolist(),
+            "trans_probability": float(tprob),
         }
         self._record(fused, cov, rec)
 
@@ -285,6 +318,8 @@ class FrontEnd:
             corrected_deg[i].astype(np.float32) for i in range(n)
         ]
         self.pcmap.remake_maps(corrected_deg)
+        # the device-resident carry is stale after a rewrite
+        self._last_pose_dev = None
 
     # reference: ScanMatcher::growMap (src/ScanMatcher.cpp:93-117)
     def _grow_map(self, scan_map_frame: PointBuffer, fused_pose, rs_local):

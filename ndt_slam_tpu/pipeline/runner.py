@@ -58,7 +58,9 @@ def run_slam(
         import jax
         jax.profiler.start_trace(profile_dir)
         profiling = True
-    jl = JsonlWriter(metrics_path)
+    # On resume, append: truncating would lose the pre-checkpoint
+    # per-frame records even though fe.metrics was restored intact.
+    jl = JsonlWriter(metrics_path, append=resume_skip > 0)
     t0 = time.perf_counter()
     n = 0
     try:
