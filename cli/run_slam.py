@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--sidelidar", action="store_true")
     ap.add_argument("--loop", action="store_true",
                     help="enable loop closure + pose-graph backend")
+    ap.add_argument("--loop-shard", action="store_true",
+                    help="fan loop-closure candidate verification out "
+                         "over all local devices (implies --loop)")
     ap.add_argument("--checkpoint",
                     help="checkpoint file (.npz) to save SLAM state to")
     ap.add_argument("--checkpoint-every", type=int, default=0,
@@ -68,9 +71,16 @@ def main():
         overrides["end_frame"] = args.end_frame
     if args.sidelidar:
         overrides["sidelidar"] = True
-    if args.loop:
+    if args.loop or args.loop_shard:
         overrides["loop_enable"] = True
     cfg = SlamConfig().replace(**overrides)
+
+    mesh = None
+    if args.loop_shard:
+        import jax
+        from ndt_slam_tpu.parallel.mesh import make_mesh
+        n = len(jax.devices())
+        mesh = make_mesh(n, dp=n)  # all devices on the candidate axis
 
     true_poses = None
     if args.simulate:
@@ -102,6 +112,7 @@ def main():
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
         profile_dir=args.profile,
+        mesh=mesh,
     )
 
     summary = {

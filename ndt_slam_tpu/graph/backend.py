@@ -40,15 +40,30 @@ def _next_pow2(n: int) -> int:
 
 
 class GraphBackend:
-    """Host-side bookkeeping + device-side verification/optimization."""
+    """Host-side bookkeeping + device-side verification/optimization.
 
-    def __init__(self, cfg: SlamConfig):
+    With `mesh` set, candidate verification fans out over the mesh's
+    "dp" axis (graph/loop_closure.make_sharded_verify) — the multi-chip
+    loop-closure path; otherwise the single-device batched verifier
+    runs. Both share _verify_one exactly.
+    """
+
+    def __init__(self, cfg: SlamConfig, mesh=None):
         self.cfg = cfg
         self.keyframes = KeyframeStore(cfg)
         self.node_poses_rad: List[np.ndarray] = []   # per frame
         self.node_sids: List[int] = []
         self.edges: List[tuple] = []                  # (i, j, z_rad[3], omega[3,3])
         self.loops_accepted = 0
+        self.mesh = mesh
+        self._verify_sharded = None
+        self._batch_capacity = cfg.loop_max_candidates
+        if mesh is not None:
+            from ndt_slam_tpu.graph.loop_closure import make_sharded_verify
+            dp = mesh.shape["dp"]
+            # round the candidate batch up to the dp axis size
+            self._batch_capacity = -(-cfg.loop_max_candidates // dp) * dp
+            self._verify_sharded = make_sharded_verify(mesh, cfg)
 
     # ---- graph growth --------------------------------------------------
     def add_frame(
@@ -106,7 +121,7 @@ class GraphBackend:
         if not cand:
             return None
 
-        B = cfg.loop_max_candidates
+        B = self._batch_capacity
         S = scan_local.xy.shape[0]
         tgt_xy = np.zeros((B, S, 2), np.float32)
         tgt_mask = np.zeros((B, S), bool)
@@ -122,10 +137,18 @@ class GraphBackend:
             )
             init[b] = _pose_deg_to_rad(rel_deg)
 
-        out = verify_candidates(
-            cfg, scan_local.xy, scan_local.mask,
-            jnp.asarray(tgt_xy), jnp.asarray(tgt_mask), jnp.asarray(init),
-        )
+        if self._verify_sharded is not None:
+            out = self._verify_sharded(
+                scan_local.xy, scan_local.mask,
+                jnp.asarray(tgt_xy), jnp.asarray(tgt_mask),
+                jnp.asarray(init),
+            )
+        else:
+            out = verify_candidates(
+                cfg, scan_local.xy, scan_local.mask,
+                jnp.asarray(tgt_xy), jnp.asarray(tgt_mask),
+                jnp.asarray(init),
+            )
         accepted = np.array(out.accepted, copy=True)
         accepted[len(cand):] = False
         if not accepted.any():

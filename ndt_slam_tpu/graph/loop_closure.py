@@ -64,7 +64,7 @@ def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
             tgt_xy, tgt_mask, center, nxs, nys, res * mult,
             min_pts=cfg.ndt_min_points_per_cell,
         )
-        if cfg.ndt_engine == "compact":
+        if cfg.ndt_engine in ("compact", "pallas"):
             gs = compact_grid(gs, cfg.ndt_max_active_cells)
         d1s, d2s = gauss_constants(res * mult, cfg.ndt_outlier_ratio)
         rf = align(
@@ -73,6 +73,7 @@ def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
             step_size=cfg.ndt_step_size * mult,
             trans_eps=cfg.ndt_trans_eps * min(mult, 2),
             radius=cfg.ndt_neighborhood,
+            use_pallas=cfg.ndt_engine == "pallas",
         )
         pose = rf.pose_rad
 
@@ -94,6 +95,34 @@ def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
     return LoopVerifyOut(
         rel_pose_rad=icp.pose_rad, cost=cost, overlap=overlap,
         accepted=accepted, hessian=rf.hessian,
+    )
+
+
+def make_sharded_verify(mesh, cfg: SlamConfig, axis_batch: str = "dp"):
+    """Candidate verification with the batch sharded over `axis_batch`
+    of `mesh` — the multi-chip loop-closure fan-out (SURVEY.md §2.3:
+    candidate matches batched across chips). The current scan is
+    replicated; each device verifies its candidate shard independently
+    (no collectives — the workload is embarrassingly parallel).
+
+    Returns fn(src_xy[S,2], src_mask[S], tgt_xy[B,T,2], tgt_mask[B,T],
+    init_rel_rad[B,3]) -> LoopVerifyOut; B must divide by the axis size
+    (pad with masked candidates).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    bp = P(axis_batch)
+    rep = P()
+    one = partial(_verify_one, cfg)
+    return jax.jit(
+        jax.shard_map(
+            jax.vmap(one, in_axes=(None, None, 0, 0, 0)),
+            mesh=mesh,
+            in_specs=(rep, rep, bp, bp, bp),
+            out_specs=LoopVerifyOut(bp, bp, bp, bp, bp),
+            # see parallel/register.make_sharded_register
+            check_vma=cfg.ndt_engine != "pallas",
+        )
     )
 
 

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ndt_slam_tpu.core.vma import vma_of
 from ndt_slam_tpu.ndt.compact import CompactGrid
 
 _TILE_N = 128          # point-tile (sublanes); [tile, K] temps stay in VMEM
@@ -44,6 +45,15 @@ _BIG = 1.0e12
 
 def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
+
+
+def _out_struct(shape, *inputs):
+    """ShapeDtypeStruct whose vma is the union of the inputs' varying
+    axes — required inside shard_map (a pallas_call out_shape carries
+    no vma by default and the check_vma typer rejects it)."""
+    return jax.ShapeDtypeStruct(
+        shape, jnp.float32, vma=frozenset(vma_of(*inputs))
+    )
 
 
 def _pad_rows(x, mult, fill=0.0):
@@ -83,15 +93,21 @@ def _point_features(pose_rad, xy, mask, cg: CompactGrid):
 # --------------------------------------------------------------------------
 # Fused score / gradient / Hessian
 # --------------------------------------------------------------------------
+#
+# The kernel does the O(N*K) pair pass entirely in VMEM and emits
+# PER-POINT partial sums [N, 8]; the O(N) epilogue contractions with the
+# pose-dependent per-point features (a, b, ...) run as ordinary XLA ops
+# and fuse. Per-point outputs (regular VMEM tiles, no cross-grid-step
+# accumulation) are what makes the kernel batchable: jax.vmap's pallas
+# batching rule adds a leading grid dimension, which Mosaic only
+# supports for tile-regular outputs (an SMEM scalar accumulator output
+# is rejected: its squeezed block fails the (8, 128) divisibility rule).
 
 def _sgh_kernel(f_ref, t_ref, o_ref, *, d1, d2, radius):
-    i = pl.program_id(0)
-    F = f_ref[:]                           # [TILE, 9]
+    F = f_ref[:]                           # [TILE, 5]
     fx, fy = F[:, 0:1], F[:, 1:2]          # [TILE, 1]
     px, py = F[:, 2:3], F[:, 3:4]
-    a, b = F[:, 4:5], F[:, 5:6]
-    m = F[:, 6:7]
-    d2x, d2y = F[:, 7:8], F[:, 8:9]
+    m = F[:, 4:5]
 
     kx = t_ref[0:1, :]                     # [1, K]
     ky = t_ref[1:2, :]
@@ -110,38 +126,18 @@ def _sgh_kernel(f_ref, t_ref, o_ref, *, d1, d2, radius):
     md = qx * bqx + qy * bqy
     e = w * jnp.exp(-0.5 * d2 * jnp.minimum(md, 50.0 / d2))
 
-    E = d1 * jnp.sum(e)
-    matched = jnp.sum(w)
-
     coef = (-d1 * d2) * e
-    gqx_s = jnp.sum(coef * bqx, axis=1, keepdims=True)   # [TILE, 1]
-    gqy_s = jnp.sum(coef * bqy, axis=1, keepdims=True)
-    hq00_s = jnp.sum(coef * (b00 - d2 * bqx * bqx), axis=1, keepdims=True)
-    hq01_s = jnp.sum(coef * (b01 - d2 * bqx * bqy), axis=1, keepdims=True)
-    hq11_s = jnp.sum(coef * (b11 - d2 * bqy * bqy), axis=1, keepdims=True)
-
-    g0 = jnp.sum(gqx_s)
-    g1 = jnp.sum(gqy_s)
-    g2 = jnp.sum(a * gqx_s + b * gqy_s)
-    h00 = jnp.sum(hq00_s)
-    h01 = jnp.sum(hq01_s)
-    h11 = jnp.sum(hq11_s)
-    h02 = jnp.sum(a * hq00_s + b * hq01_s)
-    h12 = jnp.sum(a * hq01_s + b * hq11_s)
-    h22 = jnp.sum(a * a * hq00_s + 2.0 * a * b * hq01_s + b * b * hq11_s)
-    h22 = h22 + jnp.sum(gqx_s * d2x + gqy_s * d2y)
-
-    # Scalar accumulators live in SMEM across sequential grid steps
-    # (in-kernel .at[].set would lower to an unsupported scatter).
-    @pl.when(i == 0)
-    def _():
-        for k in range(16):
-            o_ref[k] = 0.0
-
-    for k, v in enumerate(
-        (E, matched, g0, g1, g2, h00, h01, h02, h11, h12, h22)
-    ):
-        o_ref[k] += v
+    cols = (
+        d1 * jnp.sum(e, axis=1, keepdims=True),            # E per point
+        jnp.sum(w, axis=1, keepdims=True),                 # matched
+        jnp.sum(coef * bqx, axis=1, keepdims=True),        # gqx
+        jnp.sum(coef * bqy, axis=1, keepdims=True),        # gqy
+        jnp.sum(coef * (b00 - d2 * bqx * bqx), axis=1, keepdims=True),
+        jnp.sum(coef * (b01 - d2 * bqx * bqy), axis=1, keepdims=True),
+        jnp.sum(coef * (b11 - d2 * bqy * bqy), axis=1, keepdims=True),
+        jnp.zeros_like(m),                                 # pad to 8
+    )
+    o_ref[:] = jnp.concatenate(cols, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("d1", "d2", "radius"))
@@ -150,7 +146,7 @@ def _sgh_call(feats, table, d1, d2, radius):
     return pl.pallas_call(
         functools.partial(_sgh_kernel, d1=d1, d2=d2, radius=radius),
         grid=(nb,),
-        out_shape=jax.ShapeDtypeStruct((16,), jnp.float32),
+        out_shape=_out_struct((feats.shape[0], 8), feats, table),
         in_specs=[
             pl.BlockSpec(
                 (_TILE_N, feats.shape[1]), lambda i: (i, 0),
@@ -160,7 +156,9 @@ def _sgh_call(feats, table, d1, d2, radius):
                 table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec(
+            (_TILE_N, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
         interpret=_interpret(),
     )(feats, table)
 
@@ -171,19 +169,38 @@ def ndt_score_grad_hess_pallas(
 ):
     """Drop-in for ndt_score_grad_hess_compact: (E, grad, hess, matched)."""
     px, py, fx, fy, a, b, m = _point_features(pose_rad, xy, mask, cg)
-    d2x = pose_rad[0] - px
-    d2y = pose_rad[1] - py
-    feats = jnp.stack((fx, fy, px, py, a, b, m, d2x, d2y), axis=1)
+    feats = jnp.stack((fx, fy, px, py, m), axis=1)
     feats = _pad_rows(feats, _TILE_N)
     table = _table_rows(cg)
     s = _sgh_call(feats, table, float(d1), float(d2), int(radius))
-    E, matched = s[0], s[1]
-    grad = s[2:5]
+    n = xy.shape[0]
+    e_pt, m_pt = s[:n, 0], s[:n, 1]
+    gqx, gqy = s[:n, 2], s[:n, 3]
+    h00p, h01p, h11p = s[:n, 4], s[:n, 5], s[:n, 6]
+
+    E = jnp.sum(e_pt)
+    matched = jnp.sum(m_pt)
+    g0 = jnp.sum(gqx)
+    g1 = jnp.sum(gqy)
+    g2 = jnp.sum(a * gqx + b * gqy)
+    grad = jnp.stack([g0, g1, g2])
+
+    d2x = pose_rad[0] - px
+    d2y = pose_rad[1] - py
+    h00 = jnp.sum(h00p)
+    h01 = jnp.sum(h01p)
+    h11 = jnp.sum(h11p)
+    h02 = jnp.sum(a * h00p + b * h01p)
+    h12 = jnp.sum(a * h01p + b * h11p)
+    h22 = (
+        jnp.sum(a * a * h00p + 2.0 * a * b * h01p + b * b * h11p)
+        + jnp.sum(gqx * d2x + gqy * d2y)
+    )
     hess = jnp.stack(
         [
-            jnp.stack([s[5], s[6], s[7]]),
-            jnp.stack([s[6], s[8], s[9]]),
-            jnp.stack([s[7], s[9], s[10]]),
+            jnp.stack([h00, h01, h02]),
+            jnp.stack([h01, h11, h12]),
+            jnp.stack([h02, h12, h22]),
         ]
     )
     return E, grad, hess, matched
@@ -194,7 +211,6 @@ def ndt_score_grad_hess_pallas(
 # --------------------------------------------------------------------------
 
 def _score_many_kernel(f_ref, m_ref, t_ref, o_ref, *, n_cand, d1, d2, radius):
-    i = pl.program_id(0)
     F = f_ref[:]                           # [TILE, 4*C]
     m = m_ref[:]                           # [TILE, 1]
     kx = t_ref[0:1, :]
@@ -205,11 +221,7 @@ def _score_many_kernel(f_ref, m_ref, t_ref, o_ref, *, n_cand, d1, d2, radius):
     r = jnp.float32(radius)
     mtv = m * tv                           # [TILE, K]
 
-    @pl.when(i == 0)
-    def _():
-        for c in range(n_cand):
-            o_ref[c] = 0.0
-
+    cols = []
     for c in range(n_cand):                # static unroll; table stays hot
         fx = F[:, 4 * c + 0 : 4 * c + 1]
         fy = F[:, 4 * c + 1 : 4 * c + 2]
@@ -223,19 +235,22 @@ def _score_many_kernel(f_ref, m_ref, t_ref, o_ref, *, n_cand, d1, d2, radius):
         bqy = b01 * qx + b11 * qy
         md = qx * bqx + qy * bqy
         e = w * jnp.exp(-0.5 * d2 * jnp.minimum(md, 50.0 / d2))
-        o_ref[c] += d1 * jnp.sum(e)
+        cols.append(d1 * jnp.sum(e, axis=1, keepdims=True))  # [TILE, 1]
+    # per-point per-candidate partial scores (see _sgh_kernel for why
+    # per-point VMEM outputs instead of an SMEM accumulator)
+    o_ref[:] = jnp.concatenate(cols, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_cand", "d1", "d2", "radius"))
 def _score_many_call(feats, m_col, table, n_cand, d1, d2, radius):
     nb = feats.shape[0] // _TILE_N
     ncol = feats.shape[1]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _score_many_kernel, n_cand=n_cand, d1=d1, d2=d2, radius=radius
         ),
         grid=(nb,),
-        out_shape=jax.ShapeDtypeStruct((n_cand,), jnp.float32),
+        out_shape=_out_struct((feats.shape[0], n_cand), feats, m_col, table),
         in_specs=[
             pl.BlockSpec(
                 (_TILE_N, ncol), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -247,9 +262,12 @@ def _score_many_call(feats, m_col, table, n_cand, d1, d2, radius):
                 table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec(
+            (_TILE_N, n_cand), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
         interpret=_interpret(),
     )(feats, m_col, table)
+    return jnp.sum(out, axis=0)            # [C] (XLA epilogue reduction)
 
 
 def ndt_scores_pallas(
@@ -311,7 +329,7 @@ def _nn_call(src2, tgt_rows, chunk):
     out = pl.pallas_call(
         _nn_kernel,
         grid=(ns, nt),
-        out_shape=jax.ShapeDtypeStruct((src2.shape[0], 1), jnp.float32),
+        out_shape=_out_struct((src2.shape[0], 1), src2, tgt_rows),
         in_specs=[
             pl.BlockSpec(
                 (_TILE_N, 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM

@@ -116,6 +116,12 @@ def make_sharded_register(mesh: Mesh, cfg: SlamConfig, axis: str = "pt"):
             mesh=mesh,
             in_specs=(pt, pt, pt, pt, rep, rep),
             out_specs=RegisterOut(rep, rep, rep, rep, rep, rep),
+            # Pallas interpret mode (the CPU test path) builds internal
+            # while_loops that mix invariant counters with varying
+            # carries, which the vma typer rejects; numerics are
+            # unaffected (parity-tested). Mosaic-compiled TPU kernels
+            # type fine either way.
+            check_vma=cfg.ndt_engine != "pallas",
         )
     )
     return fn
@@ -137,11 +143,6 @@ def make_batch_register(
     bp = P(axis_batch, axis_points)
     bm = P(axis_batch, axis_points)
     brep = P(axis_batch)
-    if cfg.ndt_engine == "pallas":
-        # vmap over the Pallas kernels would add a batch grid dimension
-        # (untested path); the broadcast engine vmaps cleanly and the
-        # math is identical.
-        cfg = cfg.replace(ndt_engine="compact")
     core = jax.vmap(partial(_register_core, cfg, axis_points))
     fn = jax.jit(
         jax.shard_map(
@@ -149,6 +150,7 @@ def make_batch_register(
             mesh=mesh,
             in_specs=(bp, bm, bp, bm, brep, brep),
             out_specs=RegisterOut(brep, brep, brep, brep, brep, brep),
+            check_vma=cfg.ndt_engine != "pallas",  # see make_sharded_register
         )
     )
     return fn
@@ -175,9 +177,6 @@ def make_sharded_frame_step(
     dp shards the frame batch, pt shards every point buffer. This is
     the function `__graft_entry__.dryrun_multichip` compiles.
     """
-    if cfg.ndt_engine == "pallas":
-        cfg = cfg.replace(ndt_engine="compact")  # see make_batch_register
-
     def frame_core(src_xy, src_mask, tgt_xy, tgt_mask,
                    odo_pose, prev_odo, last_pose, last_cov):
         odo_motion = pose2.cal_motion(odo_pose, prev_odo)
@@ -219,6 +218,7 @@ def make_sharded_frame_step(
             mesh=mesh,
             in_specs=(bp, bp, bp, bp, brep, brep, brep, brep),
             out_specs=FrameStepOut(brep, brep, brep, brep, brep, brep),
+            check_vma=cfg.ndt_engine != "pallas",  # see make_sharded_register
         )
     )
     return fn

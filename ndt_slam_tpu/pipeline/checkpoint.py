@@ -131,7 +131,7 @@ def save_checkpoint(fe: FrontEnd, path: str) -> None:
 
 
 def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None,
-                    strict: bool = True) -> FrontEnd:
+                    strict: bool = True, mesh=None) -> FrontEnd:
     """Rebuild a FrontEnd from a checkpoint; resumes exactly.
 
     When `cfg` is passed it must match the checkpoint's stored config
@@ -167,7 +167,7 @@ def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None,
                 + " (pass strict=False to override)"
             )
 
-    fe = FrontEnd(cfg)
+    fe = FrontEnd(cfg, mesh=mesh)
     fe.cnt = int(meta["cnt"])
     fe.metrics = list(meta["metrics"])
     if meta["has_prev_odo"]:

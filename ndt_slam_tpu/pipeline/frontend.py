@@ -194,7 +194,7 @@ class FrontEnd:
     """Host orchestration: reference FrontEnd::process + ScanMatcher
     (src/FrontEnd.cpp:4-48, src/ScanMatcher.cpp:4-117)."""
 
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, mesh=None):
         self.cfg = cfg
         self.pcmap = PointCloudMap(cfg)
         self.cnt = 0
@@ -212,7 +212,7 @@ class FrontEnd:
         self.backend = None
         if cfg.loop_enable:
             from ndt_slam_tpu.graph.backend import GraphBackend
-            self.backend = GraphBackend(cfg)
+            self.backend = GraphBackend(cfg, mesh=mesh)
 
     def process(self, scan_xy_local: np.ndarray, odo_pose_deg: np.ndarray,
                 sid: Optional[int] = None) -> dict:

@@ -27,6 +27,7 @@ def run_slam(
     checkpoint_every: int = 0,
     resume: bool = False,
     profile_dir: Optional[str] = None,
+    mesh=None,
 ) -> FrontEnd:
     """Run the full pipeline over frames (objects with .odo_pose and
     .scan_xy, e.g. io.simulate.Frame or io.tsukuba.LogFrame).
@@ -44,13 +45,13 @@ def run_slam(
     resume_skip = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         from ndt_slam_tpu.pipeline.checkpoint import load_checkpoint
-        fe = load_checkpoint(checkpoint_path, cfg)
+        fe = load_checkpoint(checkpoint_path, cfg, mesh=mesh)
         resume_skip = fe.cnt
         if verbose:
             print(f"[runner] resumed from {checkpoint_path} "
                   f"(frames processed: {resume_skip})")
     else:
-        fe = FrontEnd(cfg)
+        fe = FrontEnd(cfg, mesh=mesh)
     if checkpoint_path and checkpoint_every:
         from ndt_slam_tpu.pipeline.checkpoint import save_checkpoint
     profiling = False
