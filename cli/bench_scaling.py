@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Scaling-efficiency report for the batch registration workload
+(loop-closure candidate verification — the embarrassingly-parallel
+multi-chip path, SURVEY.md §2.3).
+
+Spawns one subprocess per device count (the CPU device count is fixed
+at backend init), times `make_batch_register` over a fixed batch of
+scan pairs, and writes SCALING.json + SCALING.md at the repo root.
+
+Honesty note: on a 2-core host, N>2 virtual CPU devices timeshare the
+same cores, so wall-clock cannot speed up; what the virtual sweep
+measures is the OVERHEAD the sharded program adds as the mesh widens
+(collectives, partitioning) — the quantity that must stay small for
+real multi-chip scaling. The TPU row (run without --cpu-only on the
+machine with the chip) gives the real single-device throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys, time
+n_dev = int(sys.argv[1]); reps = int(sys.argv[2]); B = int(sys.argv[3])
+platform = sys.argv[4]
+if platform == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_dev}"
+    )
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax
+if platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from ndt_slam_tpu.config import SlamConfig
+from ndt_slam_tpu.core.points import pad_points
+from ndt_slam_tpu.parallel import make_batch_register, make_mesh
+
+CFG = SlamConfig(grid_cells_x=64, grid_cells_y=64,
+                 ndt_min_points_per_cell=3)
+
+def room_scan(n, pose=(0.0, 0.0, 0.0), noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    tx, ty, th = pose
+    angles = np.linspace(-np.pi, np.pi, n, endpoint=False)
+    pts = []
+    for a in angles:
+        wa = a + th
+        dx, dy = np.cos(wa), np.sin(wa)
+        ts = []
+        if dx > 1e-9: ts.append((5.0 - tx) / dx)
+        if dx < -1e-9: ts.append((-5.0 - tx) / dx)
+        if dy > 1e-9: ts.append((4.0 - ty) / dy)
+        if dy < -1e-9: ts.append((-4.0 - ty) / dy)
+        t = min(t for t in ts if t > 0) + noise * rng.standard_normal()
+        pts.append([t * np.cos(a), t * np.sin(a)])
+    return np.asarray(pts, dtype=np.float32)
+
+assert len(jax.devices()) >= n_dev, (len(jax.devices()), n_dev)
+mesh = make_mesh(n_dev, dp=n_dev)  # all devices on the pair axis
+fn = make_batch_register(mesh, CFG)
+
+tgt = pad_points(room_scan(720, noise=0.01), 2048)
+rng = np.random.default_rng(0)
+offs = rng.uniform(-0.05, 0.05, (B, 3)).astype(np.float32)
+srcs = [pad_points(room_scan(360, pose=tuple(o), noise=0.01, seed=i), 512)
+        for i, o in enumerate(offs)]
+src_xy = jnp.stack([s.xy for s in srcs])
+src_mask = jnp.stack([s.mask for s in srcs])
+tgt_xy = jnp.broadcast_to(tgt.xy, (B,) + tgt.xy.shape)
+tgt_mask = jnp.broadcast_to(tgt.mask, (B,) + tgt.mask.shape)
+init = jnp.zeros((B, 3), jnp.float32)
+center = jnp.zeros((B, 2), jnp.float32)
+
+out = fn(src_xy, src_mask, tgt_xy, tgt_mask, init, center)  # compile
+jax.block_until_ready(out)
+t0 = time.perf_counter()
+for _ in range(reps):
+    out = fn(src_xy, src_mask, tgt_xy, tgt_mask, init, center)
+jax.block_until_ready(out)
+dt = (time.perf_counter() - t0) / reps
+print(json.dumps({
+    "devices": n_dev, "platform": platform, "batch": B,
+    "sec_per_batch": dt, "pairs_per_sec": B / dt,
+    "converged": int(np.asarray(out.converged).sum()),
+}))
+"""
+
+
+def run_one(n_dev: int, reps: int, batch: int, platform: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if platform == "cpu":
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", _WORKER, str(n_dev), str(reps),
+         str(batch), platform],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"worker n_dev={n_dev} failed:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--devices", type=int, nargs="*",
+                    default=[1, 2, 4, 8])
+    ap.add_argument("--cpu-only", action="store_true",
+                    help="skip the real-accelerator row")
+    ap.add_argument("--out-json", default=os.path.join(REPO, "SCALING.json"))
+    ap.add_argument("--out-md", default=os.path.join(REPO, "SCALING.md"))
+    args = ap.parse_args()
+
+    rows = []
+    for n in args.devices:
+        r = run_one(n, args.reps, args.batch, "cpu")
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+    tpu_row = None
+    if not args.cpu_only:
+        try:
+            tpu_row = run_one(1, args.reps, args.batch, "default")
+            tpu_row["platform"] = "accelerator"
+            print(json.dumps(tpu_row), flush=True)
+        except Exception as e:  # no chip available: report CPU only
+            print(f"[bench_scaling] accelerator row skipped: {e}",
+                  file=sys.stderr)
+
+    base = rows[0]["pairs_per_sec"]
+    n_cores = os.cpu_count() or 1
+    for r in rows:
+        # XLA's CPU backend already multithreads ONE device across all
+        # host cores, so per-core normalization is meaningless here.
+        # The measurable quantity is relative throughput vs 1 device:
+        # >= 1.0 means widening the mesh adds no sharding overhead
+        # (collectives/partitioning), the property real multi-chip
+        # scaling depends on.
+        r["rel_throughput_vs_1dev"] = r["pairs_per_sec"] / base
+
+    report = {"host_cores": n_cores, "batch": args.batch,
+              "reps": args.reps, "cpu_rows": rows, "tpu_row": tpu_row}
+    with open(args.out_json, "w") as f:
+        json.dump(report, f, indent=2)
+
+    lines = [
+        "# SCALING — batch registration (loop-closure verification path)",
+        "",
+        f"Workload: `make_batch_register`, batch of {args.batch} scan-pair",
+        "registrations, pairs sharded over the `dp` mesh axis "
+        "(`parallel/register.py:130`).",
+        f"Host: {n_cores} physical cores; virtual CPU devices beyond that",
+        "timeshare cores, so the virtual sweep measures sharding OVERHEAD",
+        "(what must stay flat for real multi-chip scaling), not speedup.",
+        "",
+        "| devices | platform | pairs/s | rel. throughput vs 1 dev |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['devices']} | cpu | {r['pairs_per_sec']:.2f} "
+            f"| {100 * r['rel_throughput_vs_1dev']:.0f}% |"
+        )
+    if tpu_row:
+        lines.append(
+            f"| 1 | TPU chip | {tpu_row['pairs_per_sec']:.2f} | — | — |"
+        )
+    lines.append("")
+    with open(args.out_md, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out_json} and {args.out_md}")
+
+
+if __name__ == "__main__":
+    main()

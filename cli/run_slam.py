@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--profile",
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--cpu", action="store_true", help="force CPU JAX")
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialize the multi-host jax.distributed "
+                         "runtime (coordinator/process id from the "
+                         "standard JAX env vars or TPU metadata); "
+                         "non-coordinator processes skip file output")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -56,6 +61,12 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    coordinator = True
+    if args.distributed:
+        from ndt_slam_tpu.parallel.dist import initialize, is_coordinator
+        initialize()  # no-op on a single host without the env vars
+        coordinator = is_coordinator()
 
     from ndt_slam_tpu.config import SlamConfig
     from ndt_slam_tpu.pipeline.runner import run_slam
@@ -104,16 +115,24 @@ def main():
         ap.error("need --log or --simulate")
 
     os.makedirs(args.out, exist_ok=True)
+    # Under --distributed every process runs the same compiled programs
+    # (collectives need all participants), but only the coordinator
+    # writes files (parallel/dist.py host-role contract).
     fe = run_slam(
-        frames, cfg, out_dir=args.out,
-        metrics_path=os.path.join(args.out, "metrics.jsonl"),
-        verbose=args.verbose,
+        frames, cfg,
+        out_dir=args.out if coordinator else None,
+        metrics_path=(os.path.join(args.out, "metrics.jsonl")
+                      if coordinator else None),
+        verbose=args.verbose and coordinator,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
-        profile_dir=args.profile,
+        profile_dir=args.profile if coordinator else None,
         mesh=mesh,
+        checkpoint_save=coordinator,
     )
+    if not coordinator:
+        return
 
     summary = {
         "frames": len(fe.pose_history),

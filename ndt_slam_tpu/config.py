@@ -99,8 +99,16 @@ class SlamConfig:
     loop_max_candidates: int = 4       # verified per frame (batched)
     loop_keyframe_skip: int = 5        # store a keyframe every N frames
     loop_check_skip: int = 5           # attempt detection every N frames
-    max_keyframes: int = 4096
+    max_keyframes: int = 4096          # hard bound; store decimates at capacity
     pgo_iterations: int = 20
+    # Above this many graph nodes the dense [3N,3N] solve is replaced by
+    # the hierarchical solver (Schur-style chain condensation + dense
+    # coarse solve + matrix-free PCG polish, graph/pose_graph.py).
+    pgo_dense_max_nodes: int = 512
+    pgo_seg_len: int = 32              # nodes per condensed chain segment
+    pgo_fine_iterations: int = 10      # GN iterations of the PCG polish
+    pgo_cg_iters: int = 1024           # CG bound inside each polish GN step
+    pgo_cycles: int = 3                # hierarchical V-cycles
 
     # Derived sizes -----------------------------------------------------
     @property

@@ -23,7 +23,9 @@ from ndt_slam_tpu.core import pose2
 from ndt_slam_tpu.core.points import PointBuffer
 from ndt_slam_tpu.graph.keyframes import KeyframeStore
 from ndt_slam_tpu.graph.loop_closure import verify_candidates
-from ndt_slam_tpu.graph.pose_graph import PoseGraph, optimize
+from ndt_slam_tpu.graph.pose_graph import (
+    PoseGraph, optimize, optimize_hierarchical,
+)
 
 _DEG = np.float32(np.pi / 180.0)
 
@@ -53,7 +55,11 @@ class GraphBackend:
         self.keyframes = KeyframeStore(cfg)
         self.node_poses_rad: List[np.ndarray] = []   # per frame
         self.node_sids: List[int] = []
-        self.edges: List[tuple] = []                  # (i, j, z_rad[3], omega[3,3])
+        # Odometry chain: edge k connects nodes (k, k+1); kept separate
+        # from loop edges so the hierarchical solver can condense the
+        # chain (graph/pose_graph.optimize_hierarchical).
+        self.odom_edges: List[tuple] = []             # (z_rad[3], omega[3,3])
+        self.loop_edges: List[tuple] = []             # (i, j, z_rad[3], omega[3,3])
         self.loops_accepted = 0
         self.mesh = mesh
         self._verify_sharded = None
@@ -88,7 +94,7 @@ class GraphBackend:
             )
             z_rad = _pose_deg_to_rad(z_deg)
             omega = self._odom_information(np.asarray(cov_deg))
-            self.edges.append((node - 1, node, z_rad, omega))
+            self.odom_edges.append((z_rad, omega))
 
         if node % max(1, self.cfg.loop_keyframe_skip) == 0:
             self.keyframes.add(sid, fused_pose_deg, scan_local)
@@ -170,7 +176,7 @@ class GraphBackend:
             w, V = np.linalg.eigh((H + H.T) / 2)
             w = np.clip(w, 1.0, 1e6)
             omega = (V * w) @ V.T
-            self.edges.append(
+            self.loop_edges.append(
                 (old_node, cur_node, z_rad, omega.astype(np.float32))
             )
             self.loops_accepted += 1
@@ -179,32 +185,57 @@ class GraphBackend:
 
     # ---- optimization --------------------------------------------------
     def optimize_all(self) -> np.ndarray:
-        """Run GN over the whole graph; update node poses and keyframe
-        poses; return corrected per-frame poses (degrees)."""
+        """Optimize the whole graph; update node poses and keyframe
+        poses; return corrected per-frame poses (degrees).
+
+        Small graphs take the dense [3N,3N] GN solve; past
+        `cfg.pgo_dense_max_nodes` the hierarchical solver runs instead
+        (chain condensation + coarse dense + matrix-free PCG polish) so
+        a MIT-Killian-length run never factorizes an N^2 matrix."""
         cfg = self.cfg
         n = len(self.node_poses_rad)
-        e = len(self.edges)
-        N = _next_pow2(max(n, 16))
-        E = _next_pow2(max(e, 16))
+        if n > cfg.pgo_dense_max_nodes and len(self.odom_edges) == n - 1:
+            new_poses = optimize_hierarchical(
+                np.stack(self.node_poses_rad),
+                np.stack([z for z, _ in self.odom_edges]),
+                np.stack([w for _, w in self.odom_edges]),
+                np.array([i for i, _, _, _ in self.loop_edges], np.int32),
+                np.array([j for _, j, _, _ in self.loop_edges], np.int32),
+                (np.stack([z for _, _, z, _ in self.loop_edges])
+                 if self.loop_edges else np.zeros((0, 3), np.float32)),
+                (np.stack([w for _, _, _, w in self.loop_edges])
+                 if self.loop_edges else np.zeros((0, 3, 3), np.float32)),
+                seg_len=cfg.pgo_seg_len,
+                coarse_iterations=cfg.pgo_iterations,
+                fine_iterations=cfg.pgo_fine_iterations,
+                cg_iters=cfg.pgo_cg_iters,
+                cycles=cfg.pgo_cycles,
+            )
+        else:
+            e = (n - 1) + len(self.loop_edges)
+            N = _next_pow2(max(n, 16))
+            E = _next_pow2(max(e, 16))
 
-        poses = np.zeros((N, 3), np.float32)
-        poses[:n] = np.stack(self.node_poses_rad)
-        nm = np.zeros(N, bool); nm[:n] = True
-        ii = np.zeros(E, np.int32); jj = np.zeros(E, np.int32)
-        zz = np.zeros((E, 3), np.float32)
-        om = np.zeros((E, 3, 3), np.float32)
-        em = np.zeros(E, bool)
-        for t, (i, j, z, w) in enumerate(self.edges):
-            ii[t], jj[t], zz[t], om[t], em[t] = i, j, z, w, True
+            poses = np.zeros((N, 3), np.float32)
+            poses[:n] = np.stack(self.node_poses_rad)
+            nm = np.zeros(N, bool); nm[:n] = True
+            ii = np.zeros(E, np.int32); jj = np.zeros(E, np.int32)
+            zz = np.zeros((E, 3), np.float32)
+            om = np.zeros((E, 3, 3), np.float32)
+            em = np.zeros(E, bool)
+            for t, (z, w) in enumerate(self.odom_edges):
+                ii[t], jj[t], zz[t], om[t], em[t] = t, t + 1, z, w, True
+            for t, (i, j, z, w) in enumerate(self.loop_edges, start=n - 1):
+                ii[t], jj[t], zz[t], om[t], em[t] = i, j, z, w, True
 
-        g = PoseGraph(
-            poses_rad=jnp.asarray(poses), node_mask=jnp.asarray(nm),
-            idx_i=jnp.asarray(ii), idx_j=jnp.asarray(jj),
-            z_rad=jnp.asarray(zz), omega=jnp.asarray(om),
-            edge_mask=jnp.asarray(em),
-        )
-        new_poses, _chi2 = optimize(g, iterations=cfg.pgo_iterations)
-        new_poses = np.asarray(new_poses)[:n]
+            g = PoseGraph(
+                poses_rad=jnp.asarray(poses), node_mask=jnp.asarray(nm),
+                idx_i=jnp.asarray(ii), idx_j=jnp.asarray(jj),
+                z_rad=jnp.asarray(zz), omega=jnp.asarray(om),
+                edge_mask=jnp.asarray(em),
+            )
+            new_poses, _chi2 = optimize(g, iterations=cfg.pgo_iterations)
+            new_poses = np.asarray(new_poses)[:n]
         self.node_poses_rad = [p.copy() for p in new_poses]
 
         out_deg = np.stack([self._pose_rad_to_deg(p) for p in new_poses])

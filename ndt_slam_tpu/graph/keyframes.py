@@ -29,10 +29,22 @@ class KeyframeStore:
         return len(self.sids)
 
     def add(self, sid: int, pose_deg: np.ndarray, scan: PointBuffer):
+        if len(self.sids) >= self.cfg.max_keyframes:
+            self._decimate()
         self.sids.append(int(sid))
         self.poses_deg.append(np.asarray(pose_deg, np.float32).copy())
         self.scan_xy.append(np.asarray(scan.xy, np.float32))
         self.scan_mask.append(np.asarray(scan.mask, bool))
+
+    def _decimate(self):
+        """At capacity, drop every other stored keyframe. Halves the
+        temporal density uniformly, so long runs keep full spatial
+        coverage at coarser granularity instead of discarding the past
+        (the candidates loop closure needs are the OLD frames)."""
+        self.sids = self.sids[::2]
+        self.poses_deg = self.poses_deg[::2]
+        self.scan_xy = self.scan_xy[::2]
+        self.scan_mask = self.scan_mask[::2]
 
     def update_poses(self, poses_deg: np.ndarray, sid_to_row):
         """Refresh stored poses after a pose-graph correction.

@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class PoseGraph(NamedTuple):
@@ -74,6 +75,29 @@ def _wrap(th):
     return jnp.arctan2(jnp.sin(th), jnp.cos(th))
 
 
+# Backtracking ladder for the GN step: plain full steps diverge from
+# large-drift inits (rotation residuals are strongly nonlinear); trying
+# a few scaled steps and keeping the best chi2 is the jit-friendly
+# stand-in for a trust region. s=0 (reject) is appended by the caller.
+_STEP_LADDER = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+
+
+def _best_step(poses, dx, node_f, chi2_of):
+    """Return poses advanced by the ladder step with the lowest chi2,
+    or unchanged poses if no step improves."""
+    scales = jnp.array(_STEP_LADDER, jnp.float32)
+
+    def cand(s):
+        p = poses + s * dx * node_f[:, None]
+        return p.at[:, 2].set(_wrap(p[:, 2]))
+
+    chis = jax.vmap(lambda s: chi2_of(cand(s)))(scales)
+    best = jnp.argmin(chis)
+    new_poses = cand(scales[best])
+    keep = chis[best] <= chi2_of(poses)
+    return jnp.where(keep, new_poses, poses)
+
+
 def edge_residual(pose_i, pose_j, z):
     """r[3] for one edge; see module docstring."""
     c, s = jnp.cos(pose_i[2]), jnp.sin(pose_i[2])
@@ -110,12 +134,15 @@ def optimize(
     graph: PoseGraph,
     iterations: int = 20,
     damping: float = 1e-6,
-    anchor_weight: float = 1e8,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gauss-Newton solve. Returns (poses_rad [N,3], final chi2).
 
-    Node 0 is gauge-anchored at its current value via a strong prior.
-    Invalid nodes get an identity prior so H stays SPD at full shape.
+    Node 0 is gauge-anchored exactly: its rows/cols are eliminated from
+    the normal equations (identity diagonal, zero rhs) rather than
+    pinned with a huge prior — a 1e8 anchor inside an f32 Cholesky
+    destroys the factorization's conditioning and the solve returns
+    garbage steps on large-residual graphs. Invalid nodes get the same
+    treatment so H stays SPD at full shape.
     """
     N = graph.capacity_nodes
     E = graph.capacity_edges
@@ -128,7 +155,8 @@ def optimize(
         w = jnp.einsum("ei,eij,ej->e", r, graph.omega, r)
         return jnp.sum(jnp.where(graph.edge_mask, w, 0.0))
 
-    anchor_pose = graph.poses_rad[0]
+    # free[n] = 1 for nodes being solved (valid and not the anchor)
+    free = graph.node_mask.astype(jnp.float32).at[0].set(0.0)
 
     def gn_step(_, poses):
         pi = poses[graph.idx_i]
@@ -160,27 +188,433 @@ def optimize(
         b = b.at[graph.idx_i].add(b_i)
         b = b.at[graph.idx_j].add(b_j)
 
-        # Gauge anchor on node 0; identity prior on invalid nodes.
+        # Exact gauge/validity elimination: zero the fixed nodes' rows
+        # and columns, put identity on their diagonal, zero their rhs.
+        fm = free[:, None, None, None] * free[None, :, None, None]
+        H = H * fm
         eye = jnp.eye(3, dtype=jnp.float32)
-        diag_prior = jnp.where(
-            graph.node_mask[:, None, None],
-            damping * eye[None],
-            eye[None],
-        )
-        diag_prior = diag_prior.at[0].add(anchor_weight * eye)
-        H = H.at[jnp.arange(N), jnp.arange(N)].add(diag_prior)
-        b = b.at[0].add(anchor_weight * (poses[0] - anchor_pose))
+        diag = damping * free[:, None, None] * eye[None] \
+            + (1.0 - free)[:, None, None] * eye[None]
+        H = H.at[jnp.arange(N), jnp.arange(N)].add(diag)
+        b = b * free[:, None]
 
         Hd = H.transpose(0, 2, 1, 3).reshape(3 * N, 3 * N)
         bd = b.reshape(3 * N)
         dx = jax.scipy.linalg.solve(Hd, -bd, assume_a="pos")
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0).reshape(N, 3)
-        new_poses = poses + dx * graph.node_mask[:, None]
-        new_poses = new_poses.at[:, 2].set(_wrap(new_poses[:, 2]))
-        # Keep the step only if it reduces chi2 (plain GN can overshoot
-        # on strongly nonlinear loops).
-        better = chi2_of(new_poses) <= chi2_of(poses)
-        return jnp.where(better, new_poses, poses)
+        return _best_step(
+            poses, dx, graph.node_mask.astype(jnp.float32), chi2_of
+        )
 
     poses = jax.lax.fori_loop(0, iterations, gn_step, graph.poses_rad)
     return poses, chi2_of(poses)
+
+
+# ---------------------------------------------------------------------------
+# Scalable solver: matrix-free Gauss-Newton + block-Jacobi PCG.
+#
+# The dense `optimize` above factorizes a [3N,3N] matrix — fine for
+# hundreds of nodes, O(N^2) memory beyond (a MIT-Killian-length run is
+# thousands of keyframes). `optimize_pcg` never materializes H: every
+# CG iteration applies H as a batched per-edge product + segment-sum
+# scatter (O(E) memory, all VPU/MXU-shaped ops), preconditioned by the
+# inverted 3x3 diagonal blocks. The gauge is fixed by projecting node 0
+# (and invalid nodes) out of the Krylov space instead of a huge anchor
+# weight — a 1e8 prior inside f32 CG would destroy conditioning.
+#
+# Sharding (make_sharded_optimize): edges are sharded over a mesh axis,
+# nodes replicated; each device scatters its edge shard's
+# gradient/H·v/diag-block contributions and a `psum` combines them —
+# the Hessian-block assembly over ICI that SURVEY.md §5 calls for. The
+# CG/GN control flow runs replicated (identical on every device).
+# ---------------------------------------------------------------------------
+
+
+def _identity_psum(x):
+    return x
+
+
+def _edge_terms(graph: PoseGraph, poses):
+    """Per-edge residuals, Jacobians, masked information. [E,...]"""
+    pi = poses[graph.idx_i]
+    pj = poses[graph.idx_j]
+    r = jax.vmap(edge_residual)(pi, pj, graph.z_rad)
+    A, B = jax.vmap(_edge_jacobians)(pi, pj)
+    om = graph.omega * graph.edge_mask.astype(jnp.float32)[:, None, None]
+    return r, A, B, om
+
+
+def _scatter_nodes(graph: PoseGraph, vi, vj, n_nodes):
+    """Sum per-edge 3-vectors into their endpoint nodes. [N,3]"""
+    out = jnp.zeros((n_nodes, 3), jnp.float32)
+    out = out.at[graph.idx_i].add(vi)
+    return out.at[graph.idx_j].add(vj)
+
+
+def _pcg(hvp, rhs, minv_blocks, free, max_iters: int, tol: float):
+    """Block-Jacobi preconditioned CG for H x = rhs (x [N,3]).
+
+    `hvp` applies the projected Gauss-Newton Hessian; `minv_blocks`
+    [N,3,3] are the inverted (prior-augmented) diagonal blocks; `free`
+    [N] masks the nodes being solved for.
+    """
+    def precond(v):
+        return jnp.einsum("nij,nj->ni", minv_blocks, v) * free[:, None]
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    stop = jnp.maximum(dot(rhs, rhs), 1e-30) * (tol * tol)
+
+    def cond(state):
+        k, _, r, _, _ = state
+        return (k < max_iters) & (dot(r, r) > stop)
+
+    def body(state):
+        k, x, r, z, p = state
+        hp = hvp(p)
+        rz = dot(r, z)
+        alpha = rz / jnp.maximum(dot(p, hp), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z_new = precond(r)
+        beta = dot(r, z_new) / jnp.maximum(rz, 1e-30)
+        p = z_new + beta * p
+        return k + 1, x, r, z_new, p
+
+    k, x, r, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, z0, z0)
+    )
+    return x, k
+
+
+def _pcg_gn(
+    graph: PoseGraph,
+    iterations: int,
+    cg_iters: int,
+    cg_tol: float,
+    damping: float,
+    psum,
+):
+    """Shared body of optimize_pcg / make_sharded_optimize. Under
+    shard_map, `graph` edge arrays are the local shard and `psum`
+    reduces over the mesh axis; node arrays are replicated."""
+    N = graph.capacity_nodes
+    node_f = graph.node_mask.astype(jnp.float32)
+    # gauge: node 0 fixed; invalid nodes inert
+    free = node_f.at[0].set(0.0)
+    eye = jnp.eye(3, dtype=jnp.float32)
+
+    def chi2_of(poses):
+        r, _, _, om = _edge_terms(graph, poses)
+        w = jnp.einsum("ei,eij,ej->e", r, om, r)
+        return psum(jnp.sum(w))
+
+    def gn_step(_, poses):
+        r, A, B, om = _edge_terms(graph, poses)
+        AtO = jnp.einsum("eki,ekl->eil", A, om)
+        BtO = jnp.einsum("eki,ekl->eil", B, om)
+
+        # gradient: b = J^T Omega r (psum over edge shards)
+        b = psum(_scatter_nodes(
+            graph,
+            jnp.einsum("eil,el->ei", AtO, r),
+            jnp.einsum("eil,el->ei", BtO, r),
+            N,
+        ))
+        rhs = -b * free[:, None]
+
+        # diagonal blocks for the preconditioner
+        H_ii = jnp.einsum("eil,elj->eij", AtO, A)
+        H_jj = jnp.einsum("eil,elj->eij", BtO, B)
+        D = jnp.zeros((N, 3, 3), jnp.float32)
+        D = D.at[graph.idx_i].add(H_ii)
+        D = D.at[graph.idx_j].add(H_jj)
+        D = psum(D)
+        # prior AFTER the psum (added once, replicated)
+        D = D + damping * eye[None] * free[:, None, None] \
+            + eye[None] * (1.0 - free)[:, None, None]
+        minv = jnp.linalg.inv(D)
+
+        def hvp(v):
+            vf = v * free[:, None]
+            ui = jnp.einsum("eij,ej->ei", A, vf[graph.idx_i]) \
+                + jnp.einsum("eij,ej->ei", B, vf[graph.idx_j])
+            out = psum(_scatter_nodes(
+                graph,
+                jnp.einsum("eil,el->ei", AtO, ui),
+                jnp.einsum("eil,el->ei", BtO, ui),
+                N,
+            ))
+            out = out + damping * vf
+            # identity on fixed/invalid rows keeps the operator SPD
+            return out * free[:, None] + v * (1.0 - free)[:, None]
+
+        dx, _ = _pcg(hvp, rhs, minv, free, cg_iters, cg_tol)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        return _best_step(poses, dx, node_f, chi2_of)
+
+    poses = jax.lax.fori_loop(0, iterations, gn_step, graph.poses_rad)
+    return poses, chi2_of(poses)
+
+
+@partial(jax.jit, static_argnames=("iterations", "cg_iters"))
+def optimize_pcg(
+    graph: PoseGraph,
+    iterations: int = 20,
+    cg_iters: int = 512,
+    cg_tol: float = 1e-5,
+    damping: float = 1e-6,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Matrix-free GN/PCG solve. Same contract as `optimize` (node 0
+    gauge-fixed at its input value) with O(N + E) memory."""
+    return _pcg_gn(graph, iterations, cg_iters, cg_tol, damping,
+                   _identity_psum)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical solve: Schur-style condensation onto separator nodes.
+#
+# SLAM trajectories are a chain (odometry backbone) plus sparse loop
+# edges. Eliminating the chain interiors between every `seg_len`-th
+# node is (to first order) an exact Schur complement: a segment's
+# odometry measurements compose into ONE relative constraint between
+# its separators, and loop edges re-anchor to separators through the
+# measured within-segment offsets. The coarse graph (n/seg_len nodes)
+# is solved densely — small enough for an on-chip f32 Cholesky that
+# nails the chi2-flat global modes f32 CG needs thousands of
+# iterations to traverse — then each segment is rigidly carried by its
+# leading separator and a short matrix-free PCG polish restores the
+# interior detail. North-star analog: Schur-complement reduction over
+# collectives (SURVEY.md §5 long-context row).
+# ---------------------------------------------------------------------------
+
+
+def _compose_z(a, b):
+    """SE(2) compose of relative measurements a ∘ b (numpy [...,3])."""
+    ca, sa = np.cos(a[..., 2]), np.sin(a[..., 2])
+    return np.stack([
+        a[..., 0] + ca * b[..., 0] - sa * b[..., 1],
+        a[..., 1] + sa * b[..., 0] + ca * b[..., 1],
+        a[..., 2] + b[..., 2],
+    ], axis=-1)
+
+
+def _inv_z(a):
+    c, s = np.cos(a[..., 2]), np.sin(a[..., 2])
+    return np.stack([
+        -(c * a[..., 0] + s * a[..., 1]),
+        -(-s * a[..., 0] + c * a[..., 1]),
+        -a[..., 2],
+    ], axis=-1)
+
+
+def _compose_cov(a, cov_a, b, cov_b):
+    """First-order covariance of a ∘ b (numpy, batched)."""
+    ca, sa = np.cos(a[..., 2]), np.sin(a[..., 2])
+    bx, by = b[..., 0], b[..., 1]
+    n = a.shape[0]
+    Ja = np.tile(np.eye(3, dtype=np.float64), (n, 1, 1))
+    Ja[:, 0, 2] = -sa * bx - ca * by
+    Ja[:, 1, 2] = ca * bx - sa * by
+    Jb = np.zeros((n, 3, 3))
+    Jb[:, 0, 0] = ca; Jb[:, 0, 1] = -sa
+    Jb[:, 1, 0] = sa; Jb[:, 1, 1] = ca
+    Jb[:, 2, 2] = 1.0
+    return (
+        Ja @ cov_a @ Ja.transpose(0, 2, 1)
+        + Jb @ cov_b @ Jb.transpose(0, 2, 1)
+    )
+
+
+def optimize_hierarchical(
+    poses_rad: "np.ndarray",
+    chain_z: "np.ndarray",
+    chain_omega: "np.ndarray",
+    loop_i: "np.ndarray",
+    loop_j: "np.ndarray",
+    loop_z: "np.ndarray",
+    loop_omega: "np.ndarray",
+    seg_len: int = 32,
+    coarse_iterations: int = 20,
+    fine_iterations: int = 10,
+    cg_iters: int = 1024,
+    cg_tol: float = 1e-7,
+    cycles: int = 3,
+) -> "np.ndarray":
+    """Two-level pose-graph solve for chain+loops trajectories.
+
+    poses_rad [n,3]; chain edge k connects nodes (k, k+1) with
+    measurement chain_z[k] / information chain_omega[k]; loop edges are
+    arbitrary (i, j) pairs. Returns corrected poses [n,3] (radians).
+    Host-side condensation is O(n) numpy; both solves run jitted.
+    """
+    n = poses_rad.shape[0]
+    if n <= seg_len + 1:
+        g = _pack_graph(poses_rad, chain_z, chain_omega,
+                        loop_i, loop_j, loop_z, loop_omega)
+        out, _ = optimize(g, iterations=coarse_iterations)
+        return np.asarray(out)[:n]
+
+    # --- separators: 0, seg_len, 2*seg_len, ..., and the last node ---
+    seps = np.arange(0, n, seg_len)
+    if seps[-1] != n - 1:
+        seps = np.append(seps, n - 1)
+    M = len(seps)
+    seg_of = np.minimum(np.arange(n) // seg_len, M - 2)  # node -> coarse idx
+
+    # --- coarse odometry edges: composed (z, cov) per segment ---
+    cz = np.zeros((M - 1, 3), np.float64)
+    ccov = np.zeros((M - 1, 3, 3), np.float64)
+    cov_chain = np.linalg.inv(
+        chain_omega.astype(np.float64)
+        + 1e-12 * np.eye(3)[None]
+    )
+    for m in range(M - 1):
+        lo, hi = seps[m], seps[m + 1]
+        z = np.zeros(3)
+        cov = np.zeros((3, 3))
+        for k in range(lo, hi):
+            cov = _compose_cov(
+                z[None], cov[None],
+                chain_z[k].astype(np.float64)[None], cov_chain[k][None],
+            )[0]
+            z = _compose_z(z, chain_z[k].astype(np.float64))
+        cz[m] = z
+        ccov[m] = cov
+
+    # Coarse loop information: the loop's own information, rotated into
+    # the separator frame (the rotation is roughly within-segment-sized;
+    # we keep the loop's isotropy and skip the per-cycle rotation — the
+    # polish owns the fine geometry anyway).
+    li = seg_of[loop_i].astype(np.int32) if len(loop_i) else loop_i
+    lj = seg_of[loop_j].astype(np.int32) if len(loop_j) else loop_j
+    keep = li != lj  # intra-segment loops drop out of the coarse level
+    li, lj = li[keep], lj[keep]
+    om_l = loop_omega[keep].astype(np.float64)
+    loop_i_k, loop_j_k = loop_i[keep], loop_j[keep]
+    loop_z_k = loop_z[keep].astype(np.float64)
+
+    def rel_of(P, a, b):
+        """Batched measured-frame relative pose P[a] -> P[b]."""
+        c, s = np.cos(P[a, 2]), np.sin(P[a, 2])
+        dx, dy = P[b, 0] - P[a, 0], P[b, 1] - P[a, 1]
+        th = np.arctan2(np.sin(P[b, 2] - P[a, 2]),
+                        np.cos(P[b, 2] - P[a, 2]))
+        return np.stack([c * dx + s * dy, -s * dx + c * dy, th], axis=1)
+
+    # --- V-cycles: coarse correct -> rigid prolongation -> PCG polish.
+    # Condensed chain measurements are fixed (they come from odometry);
+    # the loop edges re-anchor to separators through the CURRENT
+    # estimate's within-segment offsets each cycle — as the fine level
+    # improves, the coarse remap noise shrinks and the cycle converges
+    # toward the full-graph optimum (hierarchical-SLAM style). ---
+    com = np.linalg.inv(ccov + 1e-12 * np.eye(3)[None])
+    cur = poses_rad.astype(np.float64)
+    for _cycle in range(max(1, cycles)):
+        # offsets separator -> loop endpoints, from the current estimate
+        off_i = rel_of(cur, seps[li], loop_i_k)
+        off_j = rel_of(cur, seps[lj], loop_j_k)
+        zl = _compose_z(_compose_z(off_i, loop_z_k), _inv_z(off_j))
+        cg_graph = _pack_graph(
+            cur[seps].astype(np.float32),
+            cz.astype(np.float32), com.astype(np.float32),
+            li, lj, zl.astype(np.float32), om_l.astype(np.float32),
+        )
+        coarse_out, _ = optimize(cg_graph, iterations=coarse_iterations)
+        coarse_out = np.asarray(coarse_out)[:M].astype(np.float64)
+
+        # prolongation: carry each segment rigidly by its separator
+        delta = _compose_z(coarse_out, _inv_z(cur[seps]))
+        d = delta[seg_of]
+        c, s = np.cos(d[:, 2]), np.sin(d[:, 2])
+        new = np.stack([
+            d[:, 0] + c * cur[:, 0] - s * cur[:, 1],
+            d[:, 1] + s * cur[:, 0] + c * cur[:, 1],
+            d[:, 2] + cur[:, 2],
+        ], axis=1)
+        new[seps] = coarse_out
+        new[:, 2] = np.arctan2(np.sin(new[:, 2]), np.cos(new[:, 2]))
+
+        # fine polish: short matrix-free PCG on the full graph
+        fine_graph = _pack_graph(
+            new.astype(np.float32), chain_z, chain_omega,
+            loop_i, loop_j, loop_z, loop_omega,
+        )
+        out, _ = optimize_pcg(
+            fine_graph, iterations=fine_iterations,
+            cg_iters=cg_iters, cg_tol=cg_tol,
+        )
+        cur = np.asarray(out)[:n].astype(np.float64)
+    return cur.astype(np.float32)
+
+
+def _pack_graph(poses_rad, chain_z, chain_omega,
+                loop_i, loop_j, loop_z, loop_omega) -> PoseGraph:
+    """Pad a chain+loops edge set into a pow2-capacity PoseGraph."""
+    n = poses_rad.shape[0]
+    e = (n - 1) + len(loop_i)
+    N = max(16, 1 << (n - 1).bit_length())
+    E = max(16, 1 << max(e - 1, 1).bit_length())
+    poses = np.zeros((N, 3), np.float32)
+    poses[:n] = poses_rad
+    nm = np.zeros(N, bool); nm[:n] = True
+    ii = np.zeros(E, np.int32); jj = np.zeros(E, np.int32)
+    zz = np.zeros((E, 3), np.float32)
+    om = np.zeros((E, 3, 3), np.float32)
+    em = np.zeros(E, bool)
+    ii[:n - 1] = np.arange(n - 1); jj[:n - 1] = np.arange(1, n)
+    zz[:n - 1] = chain_z; om[:n - 1] = chain_omega; em[:n - 1] = True
+    if len(loop_i):
+        ii[n - 1:e] = loop_i; jj[n - 1:e] = loop_j
+        zz[n - 1:e] = loop_z; om[n - 1:e] = loop_omega
+        em[n - 1:e] = True
+    return PoseGraph(
+        poses_rad=jnp.asarray(poses), node_mask=jnp.asarray(nm),
+        idx_i=jnp.asarray(ii), idx_j=jnp.asarray(jj),
+        z_rad=jnp.asarray(zz), omega=jnp.asarray(om),
+        edge_mask=jnp.asarray(em),
+    )
+
+
+def make_sharded_optimize(
+    mesh,
+    axis: str = "dp",
+    iterations: int = 20,
+    cg_iters: int = 512,
+    cg_tol: float = 1e-5,
+    damping: float = 1e-6,
+):
+    """PCG pose-graph solve with edges sharded over `axis` of `mesh`.
+
+    Returns fn(graph) -> (poses_rad [N,3], chi2); the graph's edge
+    capacity must divide the axis size (pad with masked edges). Node
+    arrays are replicated; per-edge gradient/H·v/diag contributions are
+    combined with `psum` — distributed constraint assembly (SURVEY.md
+    §5 long-context row).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    ep = P(axis)
+    rep = P()
+
+    def body(graph):
+        return _pcg_gn(
+            graph, iterations, cg_iters, cg_tol, damping,
+            lambda t: jax.lax.psum(t, axis),
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(PoseGraph(
+                poses_rad=rep, node_mask=rep,
+                idx_i=ep, idx_j=ep, z_rad=ep, omega=ep, edge_mask=ep,
+            ),),
+            out_specs=(rep, rep),
+        )
+    )

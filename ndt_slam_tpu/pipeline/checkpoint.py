@@ -107,7 +107,8 @@ def save_checkpoint(fe: FrontEnd, path: str) -> None:
         be = fe.backend
         meta["backend"] = {
             "node_sids": be.node_sids,
-            "n_edges": len(be.edges),
+            "n_odom_edges": len(be.odom_edges),
+            "n_loop_edges": len(be.loop_edges),
             "loops_accepted": be.loops_accepted,
             "kf_sids": be.keyframes.sids,
         }
@@ -115,10 +116,21 @@ def save_checkpoint(fe: FrontEnd, path: str) -> None:
             np.stack(be.node_poses_rad) if be.node_poses_rad
             else np.zeros((0, 3), np.float32)
         )
-        for ei, (i, j, z, om) in enumerate(be.edges):
-            arrays[f"be_edge_{ei}"] = np.concatenate(
-                [np.array([i, j], np.float32), z, om.reshape(-1)]
-            )
+        # odometry chain: edge k connects nodes (k, k+1); [K, 12] rows
+        arrays["be_odom_edges"] = (
+            np.stack([np.concatenate([z, om.reshape(-1)])
+                      for z, om in be.odom_edges])
+            if be.odom_edges else np.zeros((0, 12), np.float32)
+        )
+        arrays["be_loop_edges"] = (
+            np.stack([
+                np.concatenate(
+                    [np.array([i, j], np.float32), z, om.reshape(-1)]
+                )
+                for i, j, z, om in be.loop_edges
+            ])
+            if be.loop_edges else np.zeros((0, 14), np.float32)
+        )
         kf = be.keyframes
         if kf.sids:
             arrays["kf_poses"] = np.stack(kf.poses_deg)
@@ -225,14 +237,17 @@ def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None,
             p.astype(np.float32) for p in np.asarray(data["be_node_poses"])
         ]
         be.loops_accepted = int(bm["loops_accepted"])
-        be.edges = []
-        for ei in range(int(bm["n_edges"])):
-            flat = np.asarray(data[f"be_edge_{ei}"])
-            be.edges.append((
-                int(flat[0]), int(flat[1]),
-                flat[2:5].astype(np.float32),
-                flat[5:14].reshape(3, 3).astype(np.float32),
-            ))
+        be.odom_edges = [
+            (row[:3].astype(np.float32),
+             row[3:12].reshape(3, 3).astype(np.float32))
+            for row in np.asarray(data["be_odom_edges"])
+        ]
+        be.loop_edges = [
+            (int(row[0]), int(row[1]),
+             row[2:5].astype(np.float32),
+             row[5:14].reshape(3, 3).astype(np.float32))
+            for row in np.asarray(data["be_loop_edges"])
+        ]
         kf = be.keyframes
         kf.sids = [int(s) for s in bm["kf_sids"]]
         if kf.sids:

@@ -28,6 +28,7 @@ def run_slam(
     resume: bool = False,
     profile_dir: Optional[str] = None,
     mesh=None,
+    checkpoint_save: bool = True,
 ) -> FrontEnd:
     """Run the full pipeline over frames (objects with .odo_pose and
     .scan_xy, e.g. io.simulate.Frame or io.tsukuba.LogFrame).
@@ -83,7 +84,7 @@ def run_slam(
             rec["wall_s"] = time.perf_counter() - t0
             jl.write(rec)
             n += 1
-            if checkpoint_path and checkpoint_every \
+            if checkpoint_path and checkpoint_every and checkpoint_save \
                     and n % checkpoint_every == 0:
                 save_checkpoint(fe, checkpoint_path)
             if verbose and cnt % 50 == 0:
@@ -94,7 +95,7 @@ def run_slam(
             import jax
             jax.profiler.stop_trace()
         jl.close()
-    if checkpoint_path and n > resume_skip:
+    if checkpoint_path and checkpoint_save and n > resume_skip:
         from ndt_slam_tpu.pipeline.checkpoint import save_checkpoint
         save_checkpoint(fe, checkpoint_path)
 

@@ -64,7 +64,8 @@ def test_resume_with_loop_backend(tmp_path):
     fe2 = load_checkpoint(ckpt)
     assert fe2.backend is not None
     assert fe2.backend.node_sids == fe.backend.node_sids
-    assert len(fe2.backend.edges) == len(fe.backend.edges)
+    assert len(fe2.backend.odom_edges) == len(fe.backend.odom_edges)
+    assert len(fe2.backend.loop_edges) == len(fe.backend.loop_edges)
     assert len(fe2.backend.keyframes) == len(fe.backend.keyframes)
     for f in frames[12:]:
         fe2.process(f.scan_xy, f.odo_pose, sid=f.sid)
