@@ -24,6 +24,9 @@ import numpy as np
 # Measured on this machine's CPU (single core, XLA CPU backend,
 # identical workload via --cpu-baseline): see BASELINE.md.
 BASELINE_CPU_SCANS_PER_S = 2.47
+# Single-core CPU baseline for the full pipeline (--pipeline
+# --cpu-baseline); refreshed alongside the registration baseline.
+BASELINE_CPU_PIPELINE_SCANS_PER_S = 0.695
 
 
 def _room_scan(n, pose=(0.0, 0.0, 0.0), noise=0.01, seed=0):
@@ -44,11 +47,50 @@ def _room_scan(n, pose=(0.0, 0.0, 0.0), noise=0.01, seed=0):
     return np.stack([t * np.cos(angles), t * np.sin(angles)], 1).astype(np.float32)
 
 
+def _bench_pipeline(args) -> int:
+    """Whole-pipeline throughput: FrontEnd.process end-to-end
+    (resample, registration, fuse, map append, dynamic removal, voxel
+    filter, metrics host-sync) over simulator frames."""
+    import jax
+
+    from ndt_slam_tpu.config import SlamConfig
+    from ndt_slam_tpu.io.simulate import simulate_sequence
+    from ndt_slam_tpu.pipeline.frontend import FrontEnd
+
+    platform = jax.devices()[0].platform
+    cfg = SlamConfig(
+        ndt_engine="gather" if args.cpu_baseline else "pallas",
+        ndt_max_active_cells=1024,
+    )
+    n_frames = args.reps or (30 if args.quick else 120)
+    warm = 8
+    frames = simulate_sequence(n_frames=n_frames + warm, beams=1081, seed=4)
+    fe = FrontEnd(cfg)
+    for fr in frames[:warm]:  # compile every per-frame program variant
+        fe.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
+    t0 = time.perf_counter()
+    for fr in frames[warm:]:
+        fe.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
+    dt = time.perf_counter() - t0
+    scans_per_s = n_frames / dt
+    print(json.dumps({
+        "metric": f"pipeline_scans_per_s_{platform}",
+        "value": round(scans_per_s, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_s / BASELINE_CPU_PIPELINE_SCANS_PER_S, 2),
+    }))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer reps")
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="run on CPU instead (to refresh the baseline)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="benchmark the FULL per-frame pipeline "
+                         "(FrontEnd.process) instead of the "
+                         "registration step")
     ap.add_argument("--reps", type=int, default=None)
     args = ap.parse_args()
 
@@ -60,6 +102,9 @@ def main() -> int:
             + " --xla_cpu_multi_thread_eigen=false"
             " intra_op_parallelism_threads=1"
         )
+
+    if args.pipeline:
+        return _bench_pipeline(args)
 
     import jax
     import jax.numpy as jnp

@@ -45,6 +45,12 @@ def main():
                     help="resume from --checkpoint if it exists")
     ap.add_argument("--profile",
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--viz", action="store_true",
+                    help="render the final map + trajectory + loop "
+                         "edges to <out>/map.png (the rviz analog)")
+    ap.add_argument("--viz-every", type=int, default=0,
+                    help="additionally render <out>/viz_NNNNN.png "
+                         "every N frames")
     ap.add_argument("--cpu", action="store_true", help="force CPU JAX")
     ap.add_argument("--distributed", action="store_true",
                     help="initialize the multi-host jax.distributed "
@@ -130,6 +136,8 @@ def main():
         profile_dir=args.profile if coordinator else None,
         mesh=mesh,
         checkpoint_save=coordinator,
+        viz_every=args.viz_every,
+        viz_final=args.viz,
     )
     if not coordinator:
         return

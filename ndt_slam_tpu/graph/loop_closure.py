@@ -39,6 +39,7 @@ class LoopVerifyOut(NamedTuple):
     rel_pose_rad: jnp.ndarray  # [B,3] measured relative pose (old -> cur)
     cost: jnp.ndarray          # [B] trimmed mean NN d^2 over matched pts
     overlap: jnp.ndarray       # [B] matched-source fraction
+    overlap_tgt: jnp.ndarray   # [B] matched-TARGET fraction (symmetric gate)
     accepted: jnp.ndarray      # [B] overlap & cost gates & converged
     hessian: jnp.ndarray       # [B,3,3] information of the fine stage
 
@@ -86,15 +87,32 @@ def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
         match_dist=cfg.loop_match_dist, iterations=10,
     )
     overlap = icp.matched_frac
+
+    # Symmetric consistency: the TARGET's points must also be explained
+    # by the transformed source. The one-sided gate misses the mirror
+    # failure (extra structure in the keyframe that the current scan
+    # lacks entirely); requiring both directions makes the accept
+    # decision invariant to which scan carries the extra structure.
+    from ndt_slam_tpu.ndt.fitness import nn_sq_dists
+
+    pose_deg = pose2.pose_rad_to_deg(icp.pose_rad)
+    src_map = pose2.global_points(pose_deg, src_xy)
+    src_map = jnp.where(src_mask[:, None], src_map, PAD_COORD)
+    d2_t = nn_sq_dists(tgt_xy, tgt_mask, src_map, src_mask)
+    n_t = jnp.maximum(jnp.sum(tgt_mask.astype(jnp.float32)), 1.0)
+    hit_t = tgt_mask & (d2_t <= cfg.loop_match_dist ** 2)
+    overlap_tgt = jnp.sum(hit_t.astype(jnp.float32)) / n_t
+
     cost = jnp.where(rf.converged, icp.mean_sq_err, cfg.failed_cost)
     accepted = (
         rf.converged
         & (overlap >= cfg.loop_min_overlap)
+        & (overlap_tgt >= cfg.loop_min_overlap)
         & (cost <= cfg.loop_score_thre)
     )
     return LoopVerifyOut(
         rel_pose_rad=icp.pose_rad, cost=cost, overlap=overlap,
-        accepted=accepted, hessian=rf.hessian,
+        overlap_tgt=overlap_tgt, accepted=accepted, hessian=rf.hessian,
     )
 
 
@@ -119,7 +137,7 @@ def make_sharded_verify(mesh, cfg: SlamConfig, axis_batch: str = "dp"):
             jax.vmap(one, in_axes=(None, None, 0, 0, 0)),
             mesh=mesh,
             in_specs=(rep, rep, bp, bp, bp),
-            out_specs=LoopVerifyOut(bp, bp, bp, bp, bp),
+            out_specs=LoopVerifyOut(bp, bp, bp, bp, bp, bp),
             # see parallel/register.make_sharded_register
             check_vma=cfg.ndt_engine != "pallas",
         )

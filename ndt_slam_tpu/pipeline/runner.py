@@ -29,6 +29,8 @@ def run_slam(
     profile_dir: Optional[str] = None,
     mesh=None,
     checkpoint_save: bool = True,
+    viz_every: int = 0,
+    viz_final: bool = False,
 ) -> FrontEnd:
     """Run the full pipeline over frames (objects with .odo_pose and
     .scan_xy, e.g. io.simulate.Frame or io.tsukuba.LogFrame).
@@ -87,6 +89,12 @@ def run_slam(
             if checkpoint_path and checkpoint_every and checkpoint_save \
                     and n % checkpoint_every == 0:
                 save_checkpoint(fe, checkpoint_path)
+            if viz_every and out_dir and n % viz_every == 0:
+                from ndt_slam_tpu.viz import render_frontend_png
+                os.makedirs(out_dir, exist_ok=True)
+                render_frontend_png(
+                    os.path.join(out_dir, f"viz_{n:05d}.png"), fe
+                )
             if verbose and cnt % 50 == 0:
                 print(f"[runner] frame {cnt} cost={rec.get('cost', 0):.4f} "
                       f"ok={rec.get('successful')}")
@@ -107,6 +115,9 @@ def run_slam(
         save_pcd(os.path.join(out_dir, "map.pcd"), fe.pcmap.global_map())
         for i, sm in enumerate(fe.pcmap.submap_clouds()):
             save_pcd(os.path.join(out_dir, f"submap_{i:03d}.pcd"), sm)
+        if viz_final or viz_every:
+            from ndt_slam_tpu.viz import render_frontend_png
+            render_frontend_png(os.path.join(out_dir, "map.png"), fe)
     elapsed = time.perf_counter() - t0
     if verbose:
         print(f"[runner] {n} frames in {elapsed:.2f}s "

