@@ -107,8 +107,11 @@ def main():
         cfg = cfg.replace(end_frame=max(cfg.end_frame, args.simulate))
     elif args.log:
         if args.format == "carmen":
+            from ndt_slam_tpu.io import native
             from ndt_slam_tpu.io.carmen import read_carmen_log
-            frames = read_carmen_log(args.log)
+            frames = native.read_carmen_log(args.log)
+            if frames is None:
+                frames = read_carmen_log(args.log)
         else:
             from ndt_slam_tpu.io import native
             from ndt_slam_tpu.io.tsukuba import read_tsukuba_log

@@ -209,6 +209,152 @@ void ndt_tsukuba_free(int64_t handle) {
 }
 
 // ---------------------------------------------------------------------------
+// CARMEN log parser (FLASER / ROBOTLASER1 — Intel/ACES/MIT-Killian
+// benchmark format). Semantics mirror ndt_slam_tpu/io/carmen.py
+// exactly (angles, cutoffs, laser-pose selection, degrees at the
+// boundary); parity enforced by tests/unit/test_native.py. Handles
+// share the registry + counts/fill/free protocol with the Tsukuba
+// parser above.
+
+#ifndef M_PI
+#define M_PI 3.14159265358979323846
+#endif
+
+static bool line_tod(const char*& p, const char* lend, double& v) {
+  const char* tok;
+  size_t len;
+  if (!next_token(p, lend, tok, len)) return false;
+  char tmp[64];
+  size_t c = len < 63 ? len : 63;
+  std::memcpy(tmp, tok, c);
+  tmp[c] = 0;
+  char* e = nullptr;
+  v = std::strtod(tmp, &e);
+  return e != tmp;
+}
+
+int64_t ndt_carmen_parse(const char* path, double max_range,
+                         double fov_rad, int64_t max_frames) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::string buf;
+  buf.resize((size_t)size);
+  if (size > 0 && std::fread(&buf[0], 1, (size_t)size, f) != (size_t)size) {
+    std::fclose(f);
+    return -1;
+  }
+  std::fclose(f);
+
+  TsukubaLog* log = new TsukubaLog();
+  log->offsets.push_back(0);
+  std::vector<double> r;
+
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  int64_t sid = 0;
+  while (p < end) {
+    if (max_frames >= 0 && sid >= max_frames) break;
+    const char* lend = p;
+    while (lend < end && *lend != '\n') ++lend;
+    const char* lp = p;
+    const char* next = (lend < end) ? lend + 1 : end;
+
+    const char* tok;
+    size_t len;
+    double x = 0, y = 0, th = 0, cutoff = max_range;
+    bool have = false;
+    r.clear();
+    if (next_token(lp, lend, tok, len)) {
+      if (len == 6 && std::memcmp(tok, "FLASER", 6) == 0) {
+        double nd;
+        if (line_tod(lp, lend, nd)) {
+          long n = (long)nd;
+          bool ok = n >= 0;
+          r.reserve((size_t)(n > 0 ? n : 0));
+          for (long j = 0; j < n && ok; ++j) {
+            double v;
+            ok = line_tod(lp, lend, v);
+            if (ok) r.push_back(v);
+          }
+          double ox, oy, oth;  // odometry triple must exist (parity:
+                               // carmen.py:65 requires >= 6 trailing)
+          if (ok && line_tod(lp, lend, x) && line_tod(lp, lend, y) &&
+              line_tod(lp, lend, th) && line_tod(lp, lend, ox) &&
+              line_tod(lp, lend, oy) && line_tod(lp, lend, oth)) {
+            have = true;
+            const double nm1 = (double)(n - 1 > 1 ? n - 1 : 1);
+            // angles: -fov/2 + fov*i/(n-1) — matches carmen.py:69-71
+            for (size_t i = 0; i < r.size(); ++i) {
+              const double a =
+                  -fov_rad / 2.0 + fov_rad * (double)i / nm1;
+              if (r[i] > 0.05 && r[i] < cutoff) {
+                log->pts.push_back((float)(r[i] * std::cos(a)));
+                log->pts.push_back((float)(r[i] * std::sin(a)));
+              }
+            }
+          }
+        }
+      } else if (len == 11 && std::memcmp(tok, "ROBOTLASER1", 11) == 0) {
+        double laser_type, start_angle, fov_decl, ang_res, sensor_max,
+            acc, rem_mode, nd;
+        if (line_tod(lp, lend, laser_type) &&
+            line_tod(lp, lend, start_angle) &&
+            line_tod(lp, lend, fov_decl) && line_tod(lp, lend, ang_res) &&
+            line_tod(lp, lend, sensor_max) && line_tod(lp, lend, acc) &&
+            line_tod(lp, lend, rem_mode) && line_tod(lp, lend, nd)) {
+          long n = (long)nd;
+          bool ok = n >= 0;
+          r.clear();
+          r.reserve((size_t)(n > 0 ? n : 0));
+          for (long j = 0; j < n && ok; ++j) {
+            double v;
+            ok = line_tod(lp, lend, v);
+            if (ok) r.push_back(v);
+          }
+          double n_rem_d = 0;
+          if (ok && line_tod(lp, lend, n_rem_d)) {
+            long n_rem = (long)n_rem_d;
+            for (long j = 0; j < n_rem && ok; ++j) {
+              double v;
+              ok = line_tod(lp, lend, v);
+            }
+            double ox, oy, oth;  // parity: carmen.py:86 requires base+6
+            if (ok && line_tod(lp, lend, x) && line_tod(lp, lend, y) &&
+                line_tod(lp, lend, th) && line_tod(lp, lend, ox) &&
+                line_tod(lp, lend, oy) && line_tod(lp, lend, oth)) {
+              have = true;
+              const double sm = sensor_max - 1e-3;
+              cutoff = max_range < sm ? max_range : sm;
+              for (size_t i = 0; i < r.size(); ++i) {
+                const double a = start_angle + ang_res * (double)i;
+                if (r[i] > 0.05 && r[i] < cutoff) {
+                  log->pts.push_back((float)(r[i] * std::cos(a)));
+                  log->pts.push_back((float)(r[i] * std::sin(a)));
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (have) {
+      log->stamps.push_back(sid);
+      log->poses.push_back((float)x);
+      log->poses.push_back((float)y);
+      log->poses.push_back((float)(th * (180.0 / M_PI)));
+      log->offsets.push_back((int64_t)(log->pts.size() / 2));
+      ++sid;
+    }
+    p = next;
+  }
+  g_logs.push_back(log);
+  return (int64_t)(g_logs.size() - 1);
+}
+
+// ---------------------------------------------------------------------------
 // ASCII PCD writer (z=0, matching pcl::io::savePCDFileASCII output the
 // reference produces, include/ndt_slam/PointCloudMap.h:124-136; format
 // kept identical to ndt_slam_tpu/io/pcd.py::save_pcd).

@@ -61,6 +61,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ndt_tsukuba_free.argtypes = [ctypes.c_int64]
     lib.ndt_write_pcd.restype = ctypes.c_int
     lib.ndt_write_pcd.argtypes = [ctypes.c_char_p, f32p, ctypes.c_int64]
+    lib.ndt_carmen_parse.restype = ctypes.c_int64
+    lib.ndt_carmen_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+    ]
     _lib = lib
     return _lib
 
@@ -103,6 +107,51 @@ def read_tsukuba_log(path: str, sidelidar: bool = False) -> Optional[List]:
     from ndt_slam_tpu.io.tsukuba import LogFrame
 
     h = lib.ndt_tsukuba_parse(path.encode(), int(sidelidar))
+    if h < 0:
+        raise FileNotFoundError(path)
+    try:
+        n_frames = np.zeros(1, np.int64)
+        n_pts = np.zeros(1, np.int64)
+        lib.ndt_tsukuba_counts(h, _i64p(n_frames), _i64p(n_pts))
+        nf, npts = int(n_frames[0]), int(n_pts[0])
+        stamps = np.zeros(nf, np.int64)
+        poses = np.zeros((nf, 3), np.float32)
+        offsets = np.zeros(nf + 1, np.int64)
+        pts = np.zeros((npts, 2), np.float32)
+        lib.ndt_tsukuba_fill(
+            h, _i64p(stamps), _f32p(poses), _i64p(offsets), _f32p(pts)
+        )
+    finally:
+        lib.ndt_tsukuba_free(h)
+    return [
+        LogFrame(
+            stamp=int(stamps[i]),
+            odo_pose=poses[i].copy(),
+            scan_xy=pts[offsets[i]:offsets[i + 1]].copy(),
+        )
+        for i in range(nf)
+    ]
+
+
+def read_carmen_log(
+    path: str,
+    max_range: float = 50.0,
+    fov_rad: float = np.pi,
+    max_frames: Optional[int] = None,
+) -> Optional[List]:
+    """Native CARMEN parser (FLASER/ROBOTLASER1); returns None when the
+    library is absent (caller falls back to io.carmen.read_carmen_log).
+    Shares the counts/fill/free handle protocol with the tsukuba
+    parser."""
+    lib = _load()
+    if lib is None:
+        return None
+    from ndt_slam_tpu.io.tsukuba import LogFrame
+
+    h = lib.ndt_carmen_parse(
+        path.encode(), float(max_range), float(fov_rad),
+        -1 if max_frames is None else int(max_frames),
+    )
     if h < 0:
         raise FileNotFoundError(path)
     try:

@@ -59,3 +59,53 @@ def test_pcd_writer_parity(tmp_path):
     back = load_pcd(path)
     assert back.shape == (123, 2)
     np.testing.assert_allclose(back, pts, atol=1e-4)
+
+
+def test_native_carmen_parity():
+    """Native CARMEN parser must match io/carmen.py frame-for-frame on
+    the committed 500-frame fixture (poses bit-equal, points bit-equal,
+    same max_frames semantics)."""
+    import os
+
+    from ndt_slam_tpu.io import native
+    from ndt_slam_tpu.io.carmen import read_carmen_log
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "office_loop.clf"
+    )
+    for max_frames in (None, 37):
+        py = read_carmen_log(path, max_frames=max_frames)
+        nt = native.read_carmen_log(path, max_frames=max_frames)
+        assert nt is not None
+        assert len(nt) == len(py)
+        for a, b in zip(nt, py):
+            assert a.stamp == b.stamp
+            np.testing.assert_array_equal(a.odo_pose, b.odo_pose)
+            np.testing.assert_array_equal(a.scan_xy, b.scan_xy)
+
+
+def test_native_carmen_robotlaser_parity(tmp_path):
+    """ROBOTLASER1 lines parse identically in both implementations."""
+    from ndt_slam_tpu.io import native
+    from ndt_slam_tpu.io.carmen import read_carmen_log
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    line = (
+        "ROBOTLASER1 0 -1.5707963 3.14159265 0.0174532925 30.0 0.01 0 5 "
+        "2.5 3.1 29.99 0.04 12.2 0 "
+        "1.25 -0.5 0.7853981 1.2 -0.45 0.78 0.1 0.02 0.5 0.3 0.2 "
+        "1203.4 host 1203.5\n"
+    )
+    p = tmp_path / "rl.clf"
+    p.write_text("# comment line\n" + line + line)
+    py = read_carmen_log(str(p))
+    nt = native.read_carmen_log(str(p))
+    assert len(py) == len(nt) == 2
+    for a, b in zip(nt, py):
+        np.testing.assert_array_equal(a.odo_pose, b.odo_pose)
+        np.testing.assert_array_equal(a.scan_xy, b.scan_xy)
