@@ -10,6 +10,7 @@
 from __future__ import annotations
 
 import json
+import os
 from typing import Iterable, Optional
 
 import numpy as np
@@ -68,6 +69,10 @@ class JsonlWriter:
     def __init__(self, path: Optional[str], append: bool = False):
         self.path = path
         mode = "a" if append else "w"
+        if path:
+            parent = os.path.dirname(path)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
         self._f = open(path, mode) if path else None
 
     def write(self, rec: dict):
