@@ -514,6 +514,7 @@ def optimize_hierarchical(
     # toward the full-graph optimum (hierarchical-SLAM style). ---
     com = np.linalg.inv(ccov + 1e-12 * np.eye(3)[None])
     cur = poses_rad.astype(np.float64)
+    prev_chi2 = np.inf
     for _cycle in range(max(1, cycles)):
         # offsets separator -> loop endpoints, from the current estimate
         off_i = rel_of(cur, seps[li], loop_i_k)
@@ -544,11 +545,16 @@ def optimize_hierarchical(
             new.astype(np.float32), chain_z, chain_omega,
             loop_i, loop_j, loop_z, loop_omega,
         )
-        out, _ = optimize_pcg(
+        out, chi2 = optimize_pcg(
             fine_graph, iterations=fine_iterations,
             cg_iters=cg_iters, cg_tol=cg_tol,
         )
         cur = np.asarray(out)[:n].astype(np.float64)
+        chi2 = float(chi2)
+        # converged: a further cycle won't move the coarse level either
+        if chi2 >= prev_chi2 * 0.99:
+            break
+        prev_chi2 = chi2
     return cur.astype(np.float32)
 
 
