@@ -50,7 +50,10 @@ def _room_scan(n, pose=(0.0, 0.0, 0.0), noise=0.01, seed=0):
 def _bench_pipeline(args) -> int:
     """Whole-pipeline throughput: FrontEnd.process end-to-end
     (resample, registration, fuse, map append, dynamic removal, voxel
-    filter, metrics host-sync) over simulator frames."""
+    filter, metrics host-sync) over simulator frames. With --batch B,
+    B independent sequences run in lockstep through one batched device
+    program (pipeline/batch_runner.py) and the metric is AGGREGATE
+    scans/s — the offline mapping-farm throughput mode."""
     import jax
 
     from ndt_slam_tpu.config import SlamConfig
@@ -64,20 +67,51 @@ def _bench_pipeline(args) -> int:
     )
     n_frames = args.reps or (30 if args.quick else 120)
     warm = 8
-    frames = simulate_sequence(n_frames=n_frames + warm, beams=1081, seed=4)
-    fe = FrontEnd(cfg)
-    for fr in frames[:warm]:  # compile every per-frame program variant
-        fe.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
-    t0 = time.perf_counter()
-    for fr in frames[warm:]:
-        fe.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
-    dt = time.perf_counter() - t0
-    scans_per_s = n_frames / dt
+    if args.batch > 1:
+        from ndt_slam_tpu.pipeline.batch_runner import BatchFrontEnd
+        B = args.batch
+        seqs = [
+            simulate_sequence(n_frames=n_frames + warm, beams=1081,
+                              seed=4 + i)
+            for i in range(B)
+        ]
+        bfe = BatchFrontEnd(cfg, B)
+        for t in range(warm):
+            bfe.process_batch(
+                [s[t].scan_xy for s in seqs],
+                [s[t].odo_pose for s in seqs],
+                [s[t].sid for s in seqs],
+            )
+        t0 = time.perf_counter()
+        for t in range(warm, warm + n_frames):
+            bfe.process_batch(
+                [s[t].scan_xy for s in seqs],
+                [s[t].odo_pose for s in seqs],
+                [s[t].sid for s in seqs],
+            )
+        dt = time.perf_counter() - t0
+        scans_per_s = B * n_frames / dt
+        metric = f"pipeline_batch{B}_scans_per_s_{platform}"
+    else:
+        frames = simulate_sequence(
+            n_frames=n_frames + warm, beams=1081, seed=4
+        )
+        fe = FrontEnd(cfg)
+        for fr in frames[:warm]:  # compile every per-frame variant
+            fe.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
+        t0 = time.perf_counter()
+        for fr in frames[warm:]:
+            fe.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
+        dt = time.perf_counter() - t0
+        scans_per_s = n_frames / dt
+        metric = f"pipeline_scans_per_s_{platform}"
     print(json.dumps({
-        "metric": f"pipeline_scans_per_s_{platform}",
+        "metric": metric,
         "value": round(scans_per_s, 3),
         "unit": "scans/s",
-        "vs_baseline": round(scans_per_s / BASELINE_CPU_PIPELINE_SCANS_PER_S, 2),
+        "vs_baseline": round(
+            scans_per_s / BASELINE_CPU_PIPELINE_SCANS_PER_S, 2
+        ),
     }))
     return 0
 
@@ -91,6 +125,9 @@ def main() -> int:
                     help="benchmark the FULL per-frame pipeline "
                          "(FrontEnd.process) instead of the "
                          "registration step")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="with --pipeline: run N sequences in lockstep "
+                         "(aggregate scans/s)")
     ap.add_argument("--reps", type=int, default=None)
     args = ap.parse_args()
 

@@ -254,6 +254,29 @@ class FrontEnd:
                 self.backend.add_frame(sid, fused, cov, scan)
             return rec
 
+        (odo_dev, prev_odo_dev, last_pose_dev, local) = (
+            self._frame_inputs(odo)
+        )
+        out = _registration_step(
+            cfg, scan.xy, scan.mask,
+            odo_dev, prev_odo_dev,
+            last_pose_dev, self.last_cov,
+            local.xy, local.mask,
+        )
+        # One batched transfer for every small per-frame output (a
+        # field-by-field np.asarray costs one device round trip EACH).
+        host_vals = jax.device_get((
+            out.fused_pose, out.cov, out.cost, out.successful,
+            out.est_pose, out.iterations, out.matched,
+            out.error_pose, out.trans_probability,
+        ))
+        return self._finish_frame(out, host_vals, scan, rs, odo,
+                                  odo_dev, sid)
+
+    def _frame_inputs(self, odo: np.ndarray):
+        """Device-side inputs of the registration step (everything but
+        the scan): (odo_dev, prev_odo_dev, last_pose_dev, local_map).
+        Shared by the sequential path and the lockstep batch runner."""
         local = self.pcmap.registration_target()
         odo_dev = jnp.asarray(odo)
         prev_odo_dev = (
@@ -264,25 +287,25 @@ class FrontEnd:
             self._last_pose_dev if self._last_pose_dev is not None
             else jnp.asarray(self.pcmap.get_last_pose())
         )
-        out = _registration_step(
-            cfg, scan.xy, scan.mask,
-            odo_dev, prev_odo_dev,
-            last_pose_dev, self.last_cov,
-            local.xy, local.mask,
-        )
-        # One batched transfer for every small per-frame output (a
-        # field-by-field np.asarray costs one device round trip EACH).
+        return odo_dev, prev_odo_dev, last_pose_dev, local
+
+    def _finish_frame(self, out: FrameResult, host_vals, scan: PointBuffer,
+                      rs_local: np.ndarray, odo: np.ndarray, odo_dev,
+                      sid: int) -> dict:
+        """Post-registration bookkeeping: device carries, map growth,
+        metrics, loop-closure backend. `host_vals` is the fetched tuple
+        (fused, cov, cost, successful, est, iters, matched, err, tprob)
+        — the batch runner fetches it for ALL sequences in one transfer
+        before calling this per sequence."""
+        cfg = self.cfg
         fused, cov, cost, successful, est, iters, matched, err, tprob = (
-            jax.device_get((
-                out.fused_pose, out.cov, out.cost, out.successful,
-                out.est_pose, out.iterations, out.matched,
-                out.error_pose, out.trans_probability,
-            ))
+            host_vals
         )
         self.last_cov = out.cov
         self._last_pose_dev = out.fused_pose
         self._prev_odo_dev = odo_dev
-        self._grow_map(PointBuffer(out.global_xy, scan.mask), fused, rs)
+        self._grow_map(PointBuffer(out.global_xy, scan.mask), fused,
+                       rs_local)
         self.prev_odo = odo
         self.cnt += 1
         rec = {
