@@ -1,0 +1,34 @@
+"""Lockstep batch pipeline with the sequence batch sharded over the
+mesh's dp axis: every sequence must match the unsharded lockstep run
+(shard-invariance of the mapping-farm mode)."""
+
+import numpy as np
+import jax
+import pytest
+
+from ndt_slam_tpu.config import SlamConfig
+from ndt_slam_tpu.io.simulate import simulate_sequence
+from ndt_slam_tpu.parallel import make_mesh
+from ndt_slam_tpu.pipeline.batch_runner import run_slam_batch
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_sharded_batch_matches_unsharded():
+    cfg = SlamConfig.small(
+        end_frame=10_000, ndt_trans_eps=1e-4, ndt_max_iterations=80
+    )
+    seqs = [
+        simulate_sequence(n_frames=8, beams=181, seed=3),
+        simulate_sequence(n_frames=8, beams=181, seed=11),
+    ]
+    plain = run_slam_batch(seqs, cfg)
+    mesh = make_mesh(8, dp=2)
+    sharded = run_slam_batch(seqs, cfg, mesh=mesh)
+    for fp, fs in zip(plain, sharded):
+        a = np.stack(fp.pose_history)
+        b = np.stack(fs.pose_history)
+        np.testing.assert_allclose(a, b, atol=0.02)
+        assert [m.get("successful") for m in fp.metrics] == \
+            [m.get("successful") for m in fs.metrics]
