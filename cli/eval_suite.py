@@ -41,7 +41,8 @@ def run_entry(entry: dict, out_root: str, verbose: bool) -> dict:
     true_poses = None
     if "simulate" in entry:
         from ndt_slam_tpu.io.simulate import simulate_sequence
-        frames = simulate_sequence(n_frames=int(entry["simulate"]))
+        frames = simulate_sequence(n_frames=int(entry["simulate"]),
+                                   seed=int(entry.get("seed", 0)))
         true_poses = np.asarray([f.true_pose for f in frames])
         cfg = cfg.replace(end_frame=max(cfg.end_frame, len(frames)))
     else:
@@ -97,11 +98,88 @@ def run_entry(entry: dict, out_root: str, verbose: bool) -> dict:
     return rec
 
 
+def _load_frames(entry: dict, cfg):
+    if "simulate" in entry:
+        from ndt_slam_tpu.io.simulate import simulate_sequence
+        return simulate_sequence(n_frames=int(entry["simulate"]),
+                                 seed=int(entry.get("seed", 0)))
+    fmt = entry.get("format", "tsukuba")
+    from ndt_slam_tpu.io import native
+    if fmt == "carmen":
+        from ndt_slam_tpu.io.carmen import read_carmen_log
+        frames = native.read_carmen_log(entry["log"])
+        return frames if frames is not None else read_carmen_log(
+            entry["log"]
+        )
+    from ndt_slam_tpu.io.tsukuba import read_tsukuba_log
+    frames = native.read_tsukuba_log(entry["log"], sidelidar=cfg.sidelidar)
+    return frames if frames is not None else read_tsukuba_log(
+        entry["log"], sidelidar=cfg.sidelidar
+    )
+
+
+def run_lockstep(entries, out_root: str, verbose: bool) -> list:
+    """All entries in ONE lockstep batch (pipeline/batch_runner): every
+    frame tick runs a single batched device program across all
+    sequences. Requires a shared config (the first entry's overrides)."""
+    from ndt_slam_tpu.config import SlamConfig
+    from ndt_slam_tpu.metrics import ate_rmse
+    from ndt_slam_tpu.pipeline.batch_runner import run_slam_batch
+
+    cfg = SlamConfig().replace(**entries[0].get("overrides", {}))
+    seqs = [_load_frames(e, cfg) for e in entries]
+    gts = []
+    for e, s in zip(entries, seqs):
+        if "simulate" in e:
+            gts.append(np.asarray([f.true_pose for f in s]))
+        elif "gt" in e:
+            from ndt_slam_tpu.io.carmen import read_carmen_gt
+            gts.append(read_carmen_gt(e["gt"]))
+        else:
+            gts.append(None)
+
+    t0 = time.perf_counter()
+    fes = run_slam_batch(seqs, cfg, verbose=verbose)
+    wall = time.perf_counter() - t0
+    total = sum(len(fe.pose_history) for fe in fes)
+
+    rows = []
+    for e, fe, gt in zip(entries, fes, gts):
+        n = len(fe.pose_history)
+        rec = {
+            "name": e["name"], "frames": n,
+            "accept_rate": (
+                round(float(np.mean([
+                    1.0 if m.get("successful") else 0.0
+                    for m in fe.metrics
+                ])), 4) if fe.metrics else 0.0
+            ),
+        }
+        if gt is not None and n:
+            rec["ate_rmse_m"] = round(
+                float(ate_rmse(fe.get_poses(), gt[:n])), 4
+            )
+        out_dir = os.path.join(out_root, e["name"])
+        os.makedirs(out_dir, exist_ok=True)
+        np.savetxt(os.path.join(out_dir, "poses_full.txt"),
+                   fe.get_poses(), fmt="%.6f")
+        rows.append(rec)
+    rows.append({
+        "name": "(aggregate)", "frames": total,
+        "wall_s": round(wall, 2),
+        "scans_per_s": round(total / max(wall, 1e-9), 3),
+    })
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("manifest", help="JSON list of suite entries")
     ap.add_argument("--out", required=True, help="output root directory")
     ap.add_argument("--cpu", action="store_true", help="force CPU JAX")
+    ap.add_argument("--lockstep", action="store_true",
+                    help="run ALL entries as one lockstep batch "
+                         "(shared config; aggregate throughput)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -115,9 +193,14 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     rows = []
-    for entry in entries:
-        rows.append(run_entry(entry, args.out, args.verbose))
-        print(json.dumps(rows[-1]), flush=True)
+    if args.lockstep:
+        rows = run_lockstep(entries, args.out, args.verbose)
+        for r in rows:
+            print(json.dumps(r), flush=True)
+    else:
+        for entry in entries:
+            rows.append(run_entry(entry, args.out, args.verbose))
+            print(json.dumps(rows[-1]), flush=True)
 
     with open(os.path.join(args.out, "suite.json"), "w") as f:
         json.dump(rows, f, indent=2)
