@@ -97,7 +97,8 @@ def _bench_pipeline(args) -> int:
             n_frames=n_frames + warm, beams=1081, seed=4
         )
         fe = FrontEnd(cfg)
-        for fr in frames[:warm]:  # compile every per-frame variant
+        fe.warmup()  # all map-step variants (incl. post-submap-close)
+        for fr in frames[:warm]:  # compile the registration step
             fe.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
         t0 = time.perf_counter()
         for fr in frames[warm:]:

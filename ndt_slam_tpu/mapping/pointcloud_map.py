@@ -77,6 +77,43 @@ def _interior(prev, cur, nxt, resol: float, thre: float) -> PointBuffer:
     return process_interior_scan(prev, cur, nxt, resol, thre)
 
 
+@partial(jax.jit, static_argnames=(
+    "append_scan", "do_interior", "include_newest", "has_prev",
+    "filtered", "cap_sub", "cap_local", "resol", "thre", "leaf"))
+def _add_scan_and_target(
+    proc: PointBuffer, proc_count, raw_a: PointBuffer, raw_b: PointBuffer,
+    scan: PointBuffer, prev: PointBuffer, *,
+    append_scan: bool, do_interior: bool, include_newest: bool,
+    has_prev: bool, filtered: bool, cap_sub: int, cap_local: int,
+    resol: float, thre: float, leaf: float,
+):
+    """Fused per-frame map update: Submap.add_scan (raw append and/or
+    interior dynamic-removal pass) + Submap.cloud() + the next frame's
+    registration target, all in ONE device program. The unfused path
+    costs 4-5 separate dispatches per frame; on a remote TPU each
+    dispatch is a tunnel round trip, so the sequential pipeline is
+    latency-bound on exactly these. Branch flags are static — one
+    compiled variant per (phase of run), identical numerics to the
+    unfused ops (parity-tested in tests/unit/test_mapping.py).
+
+    `raw_a`/`raw_b` are the submap's last two raw scans (ignored unless
+    `do_interior`); `prev` is the previous submap's closed cloud
+    (ignored unless `has_prev`). Returns (proc, proc_count, target).
+    """
+    if append_scan:
+        proc, proc_count = _append(proc, proc_count, scan)
+    if do_interior:
+        processed = process_interior_scan(raw_a, raw_b, scan, resol, thre)
+        proc, proc_count = _append(proc, proc_count, processed)
+    cloud = _concat(proc, scan, cap_sub) if include_newest else proc
+    cur_t = voxel_filter(cloud, leaf) if filtered else cloud
+    if has_prev:
+        target = _concat(prev, cur_t, cap_local)
+    else:
+        target = _concat(cur_t, PointBuffer.empty(1), cap_local)
+    return proc, proc_count, target
+
+
 class Submap:
     """One submap: accumulated processed cloud + the raw 3-scan tail."""
 
@@ -149,6 +186,9 @@ class PointCloudMap:
         self.last_scan: Optional[PointBuffer] = None
         # raw local-frame scans kept for post-loop-closure remake
         self.local_scans: List[np.ndarray] = []
+        # registration target precomputed by the fused add_points path
+        # (valid until the next map mutation)
+        self._cached_target: Optional[PointBuffer] = None
 
     # -- reference: PointCloudMap::addPose (src/PointCloudMap.cpp:44-55)
     def add_pose(self, pose_deg: np.ndarray):
@@ -159,9 +199,16 @@ class PointCloudMap:
         self.poses.append(pose_deg)
 
     # -- reference: PointCloudMap::addPoints (src/PointCloudMap.cpp:58-91)
-    def add_points(self, scan_map_frame: PointBuffer):
+    def add_points(self, scan_map_frame: PointBuffer,
+                   make_target: bool = False):
+        """Append one map-frame scan. With `make_target=True` the common
+        (no submap-close) path runs as ONE fused device program that
+        also assembles the next frame's registration target (cached;
+        `registration_target()` returns it without further dispatches).
+        """
         cfg = self.cfg
         cur = self.submaps[-1]
+        self._cached_target = None
         if self.atd - cur.atd_s >= cfg.submap_sep_thre:
             cur.cnt_e = len(self.poses) - 2
             cur.close()
@@ -171,8 +218,43 @@ class PointCloudMap:
                 new.add_scan(s, carried=True)
             new.add_scan(scan_map_frame)
             self.submaps.append(new)
+        elif make_target:
+            self._cached_target = self._add_scan_fused(cur, scan_map_frame)
         else:
             cur.add_scan(scan_map_frame)
+
+    def _add_scan_fused(self, cur: Submap, scan: PointBuffer) -> PointBuffer:
+        """Run `_add_scan_and_target` with the static flags matching
+        exactly what Submap.add_scan + registration_target() would do,
+        apply the buffer updates, and return the target."""
+        cfg = self.cfg
+        if cfg.remove_moving:
+            append_scan = cur.is_first and cur.n_scans == 0
+            do_interior = cur.n_scans + 1 >= 3
+            include_newest = True
+        else:
+            append_scan = True
+            do_interior = False
+            include_newest = False
+        has_prev = len(self.submaps) >= 2
+        prev = (self.submaps[-2].final_cloud if has_prev
+                else PointBuffer.empty(1))
+        raw_a = cur.raw[-2] if len(cur.raw) >= 2 else scan
+        raw_b = cur.raw[-1] if len(cur.raw) >= 1 else scan
+        proc, count, target = _add_scan_and_target(
+            cur.proc, cur.proc_count, raw_a, raw_b, scan, prev,
+            append_scan=append_scan, do_interior=do_interior,
+            include_newest=include_newest, has_prev=has_prev,
+            filtered=cfg.ndt_target_filtered,
+            cap_sub=cfg.max_submap_points,
+            cap_local=cfg.max_local_map_points,
+            resol=cfg.diff_resol, thre=cfg.thre_neighbor,
+            leaf=cfg.submap_leaf_size,
+        )
+        cur._push_raw(scan)
+        cur.n_scans += 1
+        cur.proc, cur.proc_count = proc, count
+        return target
 
     # -- reference: PointCloudMap::makeLocalMap (src/PointCloudMap.cpp:119-134)
     def local_map(self) -> PointBuffer:
@@ -201,6 +283,8 @@ class PointCloudMap:
         `local_map()` for output parity. Set cfg.ndt_target_filtered
         for the exact reference assembly (= local_map()).
         """
+        if self._cached_target is not None:
+            return self._cached_target
         cfg = self.cfg
         if cfg.ndt_target_filtered:
             return self.local_map()
@@ -254,6 +338,7 @@ class PointCloudMap:
         self.poses = []
         self.atd = 0.0
         self.submaps = [Submap(cfg, 0.0, 0)]
+        self._cached_target = None
         locals_ = self.local_scans
         self.local_scans = []
         for pose, xy_local in zip(np.asarray(new_poses_deg), locals_):

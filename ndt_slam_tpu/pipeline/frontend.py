@@ -214,6 +214,48 @@ class FrontEnd:
             from ndt_slam_tpu.graph.backend import GraphBackend
             self.backend = GraphBackend(cfg, mesh=mesh)
 
+    def warmup(self):
+        """Pre-compile every map-step program variant the run will hit
+        (fused add-scan/target variants, submap-close voxel filter,
+        post-close target fallback) so no XLA compile lands mid-run.
+        The per-frame registration step still compiles on frame 1 —
+        call this for latency-sensitive runs and fair benchmarks."""
+        from ndt_slam_tpu.mapping.pointcloud_map import (
+            _add_scan_and_target, _concat, _voxel,
+        )
+        cfg = self.cfg
+        scan = PointBuffer.empty(cfg.max_scan_points)
+        proc = PointBuffer.empty(cfg.max_submap_points)
+        zero = jnp.int32(0)
+        common = dict(
+            filtered=cfg.ndt_target_filtered,
+            cap_sub=cfg.max_submap_points,
+            cap_local=cfg.max_local_map_points,
+            resol=cfg.diff_resol, thre=cfg.thre_neighbor,
+            leaf=cfg.submap_leaf_size,
+        )
+        if cfg.remove_moving:
+            variants = [(True, False, True), (False, False, True),
+                        (False, True, True)]
+        else:
+            variants = [(True, False, False)]
+        outs = []
+        for has_prev in (False, True):
+            pv = proc if has_prev else PointBuffer.empty(1)
+            for ap, di, inc in variants:
+                outs.append(_add_scan_and_target(
+                    proc, zero, scan, scan, scan, pv,
+                    append_scan=ap, do_interior=di, include_newest=inc,
+                    has_prev=has_prev, **common,
+                ))
+        # submap close + post-close unfused target fallback
+        c = _concat(proc, scan, cfg.max_submap_points)
+        outs.append(_voxel(c, cfg.submap_leaf_size))
+        outs.append(_concat(proc, c, cfg.max_local_map_points))
+        outs.append(_concat(c, PointBuffer.empty(1),
+                            cfg.max_local_map_points))
+        jax.block_until_ready(outs)
+
     def process(self, scan_xy_local: np.ndarray, odo_pose_deg: np.ndarray,
                 sid: Optional[int] = None) -> dict:
         """One frame. scan_xy_local: [n,2] raw sensor-frame points;
@@ -347,7 +389,11 @@ class FrontEnd:
     # reference: ScanMatcher::growMap (src/ScanMatcher.cpp:93-117)
     def _grow_map(self, scan_map_frame: PointBuffer, fused_pose, rs_local):
         self.pcmap.add_pose(fused_pose)
-        self.pcmap.add_points(scan_map_frame)
+        # make_target: one fused device program for the map update that
+        # also leaves the next frame's registration target cached —
+        # the sequential pipeline's dispatch count per frame drops from
+        # ~6 to 3 (registration, map step, metrics fetch).
+        self.pcmap.add_points(scan_map_frame, make_target=True)
         self.pcmap.set_last_pose(fused_pose)
         self.pcmap.set_last_scan(scan_map_frame)
         self.pcmap.record_local_scan(rs_local)

@@ -114,3 +114,54 @@ def test_submap_carryover_seeding():
     # new submap was seeded with 2 carried scans + the triggering scan
     newest = pm.submaps[-1]
     assert newest.n_scans >= 3
+
+
+def _buf_eq(a: PointBuffer, b: PointBuffer):
+    """Two buffers hold the same valid point SET (order-insensitive)."""
+    axy = np.asarray(a.xy)[np.asarray(a.mask)]
+    bxy = np.asarray(b.xy)[np.asarray(b.mask)]
+    if axy.shape != bxy.shape:
+        return False
+    ka = np.lexsort((axy[:, 1], axy[:, 0]))
+    kb = np.lexsort((bxy[:, 1], bxy[:, 0]))
+    return np.allclose(axy[ka], bxy[kb], atol=1e-6)
+
+
+def _walk_scans(n, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        pose = np.array([0.45 * i, 0.0, 0.0], dtype=np.float32)
+        pts = pose[:2] + rng.standard_normal((35, 2)).astype(np.float32) * 0.25
+        out.append((pose, pts.astype(np.float32)))
+    return out
+
+
+def test_fused_add_points_matches_unfused():
+    """The fused add_points(make_target=True) path (one device program:
+    add_scan + cloud + registration target) must agree with the unfused
+    op-by-op path in both proc buffers and the produced target, across
+    submap closes, in every config mode (remove_moving on/off,
+    ndt_target_filtered on/off)."""
+    for remove_moving in (True, False):
+        for filtered in (True, False):
+            cfg = SlamConfig.small(
+                submap_sep_thre=1.5, remove_moving=remove_moving,
+                ndt_target_filtered=filtered,
+            )
+            pm_f = PointCloudMap(cfg)
+            pm_u = PointCloudMap(cfg)
+            for pose, pts in _walk_scans(9):
+                scan = pad_points(pts, cfg.max_scan_points)
+                for pm, mk in ((pm_f, True), (pm_u, False)):
+                    pm.add_pose(pose)
+                    pm.add_points(scan, make_target=mk)
+                    pm.set_last_pose(pose)
+                tgt_f = pm_f.registration_target()
+                tgt_u = pm_u.registration_target()
+                key = (remove_moving, filtered, len(pm_f.submaps))
+                assert _buf_eq(tgt_f, tgt_u), key
+                cur_f, cur_u = pm_f.submaps[-1], pm_u.submaps[-1]
+                assert cur_f.n_scans == cur_u.n_scans, key
+                assert _buf_eq(cur_f.proc, cur_u.proc), key
+            assert len(pm_f.submaps) == len(pm_u.submaps) >= 2
