@@ -14,7 +14,17 @@ once and never recompiles.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Mapping
+
+
+@functools.cache
+def _default_platform() -> str:
+    """Backend platform of the default JAX device, cached per process
+    (jax.devices() initializes the backend; one call suffices)."""
+    import jax
+
+    return jax.devices()[0].platform
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,12 +48,15 @@ class SlamConfig:
     ndt_outlier_ratio: float = 0.55  # Gaussian-mixture outlier mass (PCL default)
     ndt_min_points_per_cell: int = 6  # PCL VoxelGridCovariance default
     ndt_neighborhood: int = 1       # cell search radius: 0 -> 1 cell, 1 -> 3x3
-    # Engine: "compact" = gather-free [points x valid-cells] broadcast
-    # engine (ndt/compact.py); "pallas" = same math as fused Pallas TPU
+    # Engine: "auto" (default) resolves by platform — "pallas" on TPU,
+    # "compact" elsewhere (see resolved_ndt_engine). "compact" =
+    # gather-free [points x valid-cells] broadcast engine
+    # (ndt/compact.py); "pallas" = same math as fused Pallas TPU
     # kernels with VMEM-resident pair intermediates (pallas_kernels.py,
     # the TPU-fast path — interpret-mode on CPU); "gather" = dense-
-    # window neighbor-gather engine (ndt/score.py). Identical semantics.
-    ndt_engine: str = "compact"
+    # window neighbor-gather engine (ndt/score.py). Identical semantics
+    # (parity: tests/distributed/test_pallas_sharded.py).
+    ndt_engine: str = "auto"
     ndt_max_active_cells: int = 2048  # compact-table capacity (valid cells)
     source_leaf_size: float = 0.05  # ApproximateVoxelGrid leaf on source scan
     score_thre: float = 0.5         # accept iff fitness <= this (ScanMatcher.h:50)
@@ -100,6 +113,16 @@ class SlamConfig:
     loop_keyframe_skip: int = 5        # store a keyframe every N frames
     loop_check_skip: int = 5           # attempt detection every N frames
     max_keyframes: int = 4096          # hard bound; store decimates at capacity
+    # Incremental map rewrite after a pose-graph correction: a closed
+    # submap is rebuilt only if a member pose moved more than this
+    # (PointCloudMap.remake_maps). 0/0 forces a full rebuild.
+    remake_thresh_trans: float = 0.05   # [m]
+    remake_thresh_rot: float = 0.5      # [deg]
+    # Defer pose-graph optimization: accepted loop edges accumulate,
+    # but optimize+remake runs at most once per this many frames
+    # (0 = optimize on every accepted loop, the reference-style eager
+    # behavior). Bursts of loops at a revisit then cost ONE correction.
+    loop_opt_min_frames: int = 0
     pgo_iterations: int = 20
     # Above this many graph nodes the dense [3N,3N] solve is replaced by
     # the hierarchical solver (Schur-style chain condensation + dense
@@ -111,6 +134,17 @@ class SlamConfig:
     pgo_cycles: int = 3                # hierarchical V-cycles
 
     # Derived sizes -----------------------------------------------------
+    @property
+    def resolved_ndt_engine(self) -> str:
+        """The engine actually run: "auto" picks the fused Pallas
+        kernels on TPU (measured fastest there, ndt/pallas_kernels.py
+        module docstring) and the compact broadcast engine elsewhere
+        (Pallas interpret-mode on CPU is slow). Consumers must read
+        this, never `ndt_engine` directly."""
+        if self.ndt_engine != "auto":
+            return self.ndt_engine
+        return "pallas" if _default_platform() == "tpu" else "compact"
+
     @property
     def grid_num_cells(self) -> int:
         return self.grid_cells_x * self.grid_cells_y

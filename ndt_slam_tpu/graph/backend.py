@@ -61,6 +61,11 @@ class GraphBackend:
         self.odom_edges: List[tuple] = []             # (z_rad[3], omega[3,3])
         self.loop_edges: List[tuple] = []             # (i, j, z_rad[3], omega[3,3])
         self.loops_accepted = 0
+        # deferred-optimization state (cfg.loop_opt_min_frames): edges
+        # accepted since the last optimize+remake, and the node index
+        # at which that last correction ran.
+        self._pending_edges = 0
+        self._last_opt_node = -(10 ** 9)
         self.mesh = mesh
         self._verify_sharded = None
         self._batch_capacity = cfg.loop_max_candidates
@@ -117,16 +122,36 @@ class GraphBackend:
         self, sid: int, fused_pose_deg: np.ndarray,
         scan_local: PointBuffer,
     ) -> Optional[np.ndarray]:
-        """Detect + verify + optimize. Returns corrected per-frame poses
-        [n_frames, 3] (degrees) when a loop was accepted, else None."""
+        """Detect + verify + (possibly deferred) optimize. Returns
+        corrected per-frame poses [n_frames, 3] (degrees) when a
+        correction ran, else None. With cfg.loop_opt_min_frames > 0,
+        accepted edges accumulate and the optimize+remake runs at most
+        once per that many frames — a burst of loops at a revisit costs
+        one correction instead of one per accepted edge."""
         cfg = self.cfg
         cand = self.keyframes.candidates(
             np.asarray(fused_pose_deg), sid,
             max_candidates=cfg.loop_max_candidates,
         )
-        if not cand:
+        if cand:
+            self._verify_and_add_edges(sid, fused_pose_deg, scan_local,
+                                       cand)
+        if self._pending_edges == 0:
             return None
+        node_now = len(self.node_poses_rad) - 1
+        if node_now - self._last_opt_node < cfg.loop_opt_min_frames:
+            return None
+        self._last_opt_node = node_now
+        self._pending_edges = 0
+        return self.optimize_all()
 
+    def _verify_and_add_edges(
+        self, sid: int, fused_pose_deg: np.ndarray,
+        scan_local: PointBuffer, cand: List[int],
+    ) -> None:
+        """Batched verification of candidate keyframes; accepted ones
+        become loop edges (pending until the next optimization)."""
+        cfg = self.cfg
         B = self._batch_capacity
         S = scan_local.xy.shape[0]
         tgt_xy = np.zeros((B, S, 2), np.float32)
@@ -158,7 +183,7 @@ class GraphBackend:
         accepted = np.array(out.accepted, copy=True)
         accepted[len(cand):] = False
         if not accepted.any():
-            return None
+            return
 
         sid_rows = {s: i for i, s in enumerate(self.node_sids)}
         cur_node = sid_rows[sid]
@@ -180,7 +205,15 @@ class GraphBackend:
                 (old_node, cur_node, z_rad, omega.astype(np.float32))
             )
             self.loops_accepted += 1
+            self._pending_edges += 1
 
+    def flush(self) -> Optional[np.ndarray]:
+        """Apply deferred loop edges (end-of-run finalization when
+        cfg.loop_opt_min_frames postponed the last correction)."""
+        if self._pending_edges == 0:
+            return None
+        self._pending_edges = 0
+        self._last_opt_node = len(self.node_poses_rad) - 1
         return self.optimize_all()
 
     # ---- optimization --------------------------------------------------
@@ -239,8 +272,6 @@ class GraphBackend:
         self.node_poses_rad = [p.copy() for p in new_poses]
 
         out_deg = np.stack([self._pose_rad_to_deg(p) for p in new_poses])
-        self.keyframes.update_poses(
-            out_deg,
-            lambda s: {v: i for i, v in enumerate(self.node_sids)}.get(s),
-        )
+        sid_rows = {v: i for i, v in enumerate(self.node_sids)}
+        self.keyframes.update_poses(out_deg, sid_rows.get)
         return out_deg

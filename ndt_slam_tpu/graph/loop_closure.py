@@ -65,7 +65,7 @@ def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
             tgt_xy, tgt_mask, center, nxs, nys, res * mult,
             min_pts=cfg.ndt_min_points_per_cell,
         )
-        if cfg.ndt_engine in ("compact", "pallas"):
+        if cfg.resolved_ndt_engine in ("compact", "pallas"):
             gs = compact_grid(gs, cfg.ndt_max_active_cells)
         d1s, d2s = gauss_constants(res * mult, cfg.ndt_outlier_ratio)
         rf = align(
@@ -74,7 +74,7 @@ def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
             step_size=cfg.ndt_step_size * mult,
             trans_eps=cfg.ndt_trans_eps * min(mult, 2),
             radius=cfg.ndt_neighborhood,
-            use_pallas=cfg.ndt_engine == "pallas",
+            use_pallas=cfg.resolved_ndt_engine == "pallas",
         )
         pose = rf.pose_rad
 
@@ -139,7 +139,7 @@ def make_sharded_verify(mesh, cfg: SlamConfig, axis_batch: str = "dp"):
             in_specs=(rep, rep, bp, bp, bp),
             out_specs=LoopVerifyOut(bp, bp, bp, bp, bp, bp),
             # see parallel/register.make_sharded_register
-            check_vma=cfg.ndt_engine != "pallas",
+            check_vma=cfg.resolved_ndt_engine != "pallas",
         )
     )
 

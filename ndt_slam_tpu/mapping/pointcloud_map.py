@@ -134,33 +134,49 @@ class Submap:
         if len(self.raw) > 3:
             self.raw.pop(0)
 
+    def step_flags(self) -> tuple[bool, bool, bool]:
+        """(append_scan, do_interior, include_newest) for adding the
+        NEXT scan — the single source of truth for the per-scan branch
+        logic, shared by `add_scan` (unfused) and
+        `PointCloudMap._add_scan_fused` so the two paths cannot
+        silently desynchronize (parity:
+        tests/unit/test_mapping.py::test_fused_add_points_matches_unfused).
+
+        remove_moving: only the FIRST submap's first scan is appended
+        raw (reference makeMap cntS==0 branch); an interior pass runs
+        once 3 raw scans exist; the newest raw scan rides along in
+        `cloud()`. Without remove_moving: plain append, no interior,
+        newest already appended.
+        """
+        if self.cfg.remove_moving:
+            return (self.is_first and self.n_scans == 0,
+                    self.n_scans + 1 >= 3,
+                    True)
+        return (True, False, False)
+
     def add_scan(self, scan: PointBuffer, carried: bool = False):
         """Add one scan (map-frame points). `carried` marks the two scans
         inherited from the previous submap at creation."""
         cfg = self.cfg
+        append_scan, do_interior, _ = self.step_flags()
+        if not cfg.remove_moving and carried and not self.is_first:
+            # non-first submaps skip the 2 carried scans in the plain-
+            # concat mode (reference: src/PointCloudMap.cpp:33-37)
+            append_scan = False
         self._push_raw(scan)
         self.n_scans += 1
-        if cfg.remove_moving:
-            if self.is_first and self.n_scans == 1:
-                # first submap keeps scan[0] raw forever
-                self.proc, self.proc_count = _append(
-                    self.proc, self.proc_count, scan
-                )
-            if self.n_scans >= 3:
-                processed = _interior(
-                    self.raw[-3], self.raw[-2], self.raw[-1],
-                    cfg.diff_resol, cfg.thre_neighbor,
-                )
-                self.proc, self.proc_count = _append(
-                    self.proc, self.proc_count, processed
-                )
-        else:
-            # plain concat; non-first submaps skip the 2 carried scans
-            # (reference: src/PointCloudMap.cpp:33-37)
-            if not carried or self.is_first:
-                self.proc, self.proc_count = _append(
-                    self.proc, self.proc_count, scan
-                )
+        if append_scan:
+            self.proc, self.proc_count = _append(
+                self.proc, self.proc_count, scan
+            )
+        if do_interior:
+            processed = _interior(
+                self.raw[-3], self.raw[-2], self.raw[-1],
+                cfg.diff_resol, cfg.thre_neighbor,
+            )
+            self.proc, self.proc_count = _append(
+                self.proc, self.proc_count, processed
+            )
 
     def cloud(self) -> PointBuffer:
         """Current assembled cloud (reference: Submap::makeMap output)."""
@@ -189,6 +205,8 @@ class PointCloudMap:
         # registration target precomputed by the fused add_points path
         # (valid until the next map mutation)
         self._cached_target: Optional[PointBuffer] = None
+        # incremental remake_maps observability (see remake_maps)
+        self.remake_stats = {"calls": 0, "rebuilt": 0, "kept": 0}
 
     # -- reference: PointCloudMap::addPose (src/PointCloudMap.cpp:44-55)
     def add_pose(self, pose_deg: np.ndarray):
@@ -228,14 +246,7 @@ class PointCloudMap:
         exactly what Submap.add_scan + registration_target() would do,
         apply the buffer updates, and return the target."""
         cfg = self.cfg
-        if cfg.remove_moving:
-            append_scan = cur.is_first and cur.n_scans == 0
-            do_interior = cur.n_scans + 1 >= 3
-            include_newest = True
-        else:
-            append_scan = True
-            do_interior = False
-            include_newest = False
+        append_scan, do_interior, include_newest = cur.step_flags()
         has_prev = len(self.submaps) >= 2
         prev = (self.submaps[-2].final_cloud if has_prev
                 else PointBuffer.empty(1))
@@ -326,29 +337,100 @@ class PointCloudMap:
         self.local_scans.append(np.asarray(xy_local, dtype=np.float32))
 
     # -- reference: commented-out PointCloudMap::remakeMaps
-    #    (src/PointCloudMap.cpp:136-171) — rebuilt here for the pose-graph
-    #    backend: re-project every stored local scan through corrected
-    #    poses and rebuild the submap structure from scratch.
-    def remake_maps(self, new_poses_deg: np.ndarray):
+    #    (src/PointCloudMap.cpp:136-171) — the reference's (never-run)
+    #    version kept the submap partition fixed and re-projected each
+    #    submap's points through the corrected poses. Same semantics
+    #    here, made INCREMENTAL: submap boundaries stay frozen at the
+    #    frame ranges recorded when each submap was built, and only
+    #    submaps whose member poses moved beyond a threshold are
+    #    rebuilt — after a loop closure most of the old trajectory
+    #    barely moves, so corrections cost O(moved submaps), not O(n)
+    #    (VERDICT r2 weak #3).
+    def _project_scan(self, xy_local: np.ndarray, pose_deg) -> PointBuffer:
         from ndt_slam_tpu.core.pose2 import global_points
         from ndt_slam_tpu.core.points import pad_points
 
-        cfg = self.cfg
-        assert len(new_poses_deg) == len(self.local_scans) == len(self.poses)
-        self.poses = []
-        self.atd = 0.0
-        self.submaps = [Submap(cfg, 0.0, 0)]
-        self._cached_target = None
-        locals_ = self.local_scans
-        self.local_scans = []
-        for pose, xy_local in zip(np.asarray(new_poses_deg), locals_):
-            buf = pad_points(xy_local, cfg.max_scan_points)
-            g = global_points(jnp.asarray(pose, dtype=jnp.float32), buf.xy)
-            gbuf = PointBuffer(
-                jnp.where(buf.mask[:, None], g, PAD_COORD), buf.mask
+        buf = pad_points(xy_local, self.cfg.max_scan_points)
+        g = global_points(jnp.asarray(pose_deg, dtype=jnp.float32), buf.xy)
+        return PointBuffer(
+            jnp.where(buf.mask[:, None], g, PAD_COORD), buf.mask
+        )
+
+    def _rebuild_submap(
+        self, sm: Submap, new_poses: np.ndarray, atd_s: float,
+        is_open: bool,
+    ) -> Submap:
+        """Re-project one submap's scans through corrected poses over
+        its FROZEN frame range (carried seeds + members), preserving
+        every add_scan branch (first-scan-raw, carry-over, interior
+        dynamic removal) exactly as the forward pass ran it."""
+        end = len(new_poses) if is_open else sm.cnt_e + 1
+        new = Submap(self.cfg, atd_s, sm.cnt_s)
+        if sm.cnt_s > 0:
+            for f in range(max(0, sm.cnt_s - 2), sm.cnt_s):
+                new.add_scan(
+                    self._project_scan(self.local_scans[f], new_poses[f]),
+                    carried=True,
+                )
+        for f in range(sm.cnt_s, end):
+            new.add_scan(
+                self._project_scan(self.local_scans[f], new_poses[f])
             )
-            self.add_pose(pose)
-            self.add_points(gbuf)
-            self.local_scans.append(xy_local)
-            self.set_last_pose(pose)
-        self.last_pose = np.asarray(new_poses_deg[-1], dtype=np.float32)
+        if not is_open:
+            new.cnt_e = sm.cnt_e
+            new.close()
+        return new
+
+    def remake_maps(
+        self, new_poses_deg: np.ndarray,
+        thresh_trans: float | None = None,
+        thresh_rot: float | None = None,
+    ):
+        """Rewrite the map through pose-graph-corrected poses. A closed
+        submap is rebuilt only if any pose it depends on (members + the
+        two carried seed frames) moved more than (thresh_trans [m],
+        thresh_rot [deg]); the open submap — the registration target —
+        always rebuilds. Pass negative thresholds to force a full
+        rebuild (0 still skips submaps whose poses are bit-identical).
+        `remake_stats` records rebuilt/kept counts for observability."""
+        from ndt_slam_tpu.core.angles import sub_deg
+
+        cfg = self.cfg
+        new_poses = np.asarray(new_poses_deg, dtype=np.float32)
+        assert len(new_poses) == len(self.local_scans) == len(self.poses)
+        tt = cfg.remake_thresh_trans if thresh_trans is None else thresh_trans
+        tr = cfg.remake_thresh_rot if thresh_rot is None else thresh_rot
+
+        old_poses = np.asarray(self.poses, dtype=np.float32)
+        d_t = np.hypot(new_poses[:, 0] - old_poses[:, 0],
+                       new_poses[:, 1] - old_poses[:, 1])
+        d_r = np.abs(sub_deg(new_poses[:, 2], old_poses[:, 2]))
+        moved = (d_t > tt) | (d_r > tr)
+
+        # accumulated travel distance along the corrected trajectory
+        seg = np.hypot(np.diff(new_poses[:, 0]), np.diff(new_poses[:, 1]))
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+
+        rebuilt = []
+        n_rebuilt = n_kept = 0
+        for k, sm in enumerate(self.submaps):
+            is_open = k == len(self.submaps) - 1
+            end = len(new_poses) if is_open else sm.cnt_e + 1
+            lo = max(0, sm.cnt_s - 2) if sm.cnt_s > 0 else 0
+            if is_open or moved[lo:end].any():
+                rebuilt.append(self._rebuild_submap(
+                    sm, new_poses, float(cum[sm.cnt_s]), is_open
+                ))
+                n_rebuilt += 1
+            else:
+                sm.atd_s = float(cum[sm.cnt_s])
+                rebuilt.append(sm)
+                n_kept += 1
+        self.submaps = rebuilt
+        self.poses = [p for p in new_poses]
+        self.atd = float(cum[-1])
+        self._cached_target = None
+        self.last_pose = new_poses[-1].copy()
+        self.remake_stats["calls"] += 1
+        self.remake_stats["rebuilt"] += n_rebuilt
+        self.remake_stats["kept"] += n_kept

@@ -6,15 +6,21 @@ process per host, `jax.distributed.initialize` wires the XLA runtime,
 and all communication happens INSIDE compiled programs as named
 collectives over ICI/DCN — there is no hand-written transport.
 
-Host roles (pipeline/runner drives this):
+Host roles:
 - every process sees the global device set and participates in the
   same pjit/shard_map programs;
 - process 0 owns dataset I/O and metrics/output writing (guard with
   `is_coordinator()`);
-- per-frame scans are broadcast via `multihost_utils` when running the
-  sequential SLAM loop, while batch workloads (loop-closure candidate
-  verification, multi-sequence evaluation) shard their batch axis
-  across all hosts' devices.
+- batch workloads (loop-closure candidate verification, batched pair
+  registration, multi-sequence evaluation) build global arrays with
+  `jax.make_array_from_callback` and shard their batch axis across all
+  hosts' devices (proven cross-process in
+  tests/distributed/test_multiprocess.py);
+- the SEQUENTIAL per-frame SLAM loop is single-host today: under
+  `--distributed` every process recomputes the same pipeline and only
+  the coordinator writes output (correct but redundant). A true
+  multi-host sequential path needs a per-frame broadcast of the scan
+  plus point-axis sharding over the global device set.
 """
 
 from __future__ import annotations

@@ -67,7 +67,7 @@ def _register_core(
     grid = grid_finalize(
         mom, origin, nx, ny, res, min_pts=cfg.ndt_min_points_per_cell
     )
-    if cfg.ndt_engine in ("compact", "pallas"):
+    if cfg.resolved_ndt_engine in ("compact", "pallas"):
         # identical (post-psum) grid on every device -> identical table
         grid = compact_grid(grid, cfg.ndt_max_active_cells)
     d1, d2 = gauss_constants(cfg.ndt_resolution, cfg.ndt_outlier_ratio)
@@ -79,7 +79,7 @@ def _register_core(
         trans_eps=cfg.ndt_trans_eps,
         radius=cfg.ndt_neighborhood,
         axis_name=axis,
-        use_pallas=cfg.ndt_engine == "pallas",
+        use_pallas=cfg.resolved_ndt_engine == "pallas",
     )
 
     pose_deg = pose2.pose_rad_to_deg(r.pose_rad)
@@ -121,7 +121,7 @@ def make_sharded_register(mesh: Mesh, cfg: SlamConfig, axis: str = "pt"):
             # carries, which the vma typer rejects; numerics are
             # unaffected (parity-tested). Mosaic-compiled TPU kernels
             # type fine either way.
-            check_vma=cfg.ndt_engine != "pallas",
+            check_vma=cfg.resolved_ndt_engine != "pallas",
         )
     )
     return fn
@@ -150,7 +150,7 @@ def make_batch_register(
             mesh=mesh,
             in_specs=(bp, bm, bp, bm, brep, brep),
             out_specs=RegisterOut(brep, brep, brep, brep, brep, brep),
-            check_vma=cfg.ndt_engine != "pallas",  # see make_sharded_register
+            check_vma=cfg.resolved_ndt_engine != "pallas",  # see make_sharded_register
         )
     )
     return fn
@@ -218,7 +218,7 @@ def make_sharded_frame_step(
             mesh=mesh,
             in_specs=(bp, bp, bp, bp, brep, brep, brep, brep),
             out_specs=FrameStepOut(brep, brep, brep, brep, brep, brep),
-            check_vma=cfg.ndt_engine != "pallas",  # see make_sharded_register
+            check_vma=cfg.resolved_ndt_engine != "pallas",  # see make_sharded_register
         )
     )
     return fn

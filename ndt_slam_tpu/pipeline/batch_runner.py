@@ -60,7 +60,7 @@ class BatchFrontEnd:
                 out_specs=jax.tree.map(
                     lambda _: bp, _result_spec_template()
                 ),
-                check_vma=cfg.ndt_engine != "pallas",
+                check_vma=cfg.resolved_ndt_engine != "pallas",
             )
         )
 

@@ -84,8 +84,8 @@ def _registration_step(
         cfg.grid_cells_x, cfg.grid_cells_y, cfg.ndt_resolution,
         min_pts=cfg.ndt_min_points_per_cell,
     )
-    use_pallas = cfg.ndt_engine == "pallas"
-    if cfg.ndt_engine in ("compact", "pallas"):
+    use_pallas = cfg.resolved_ndt_engine == "pallas"
+    if cfg.resolved_ndt_engine in ("compact", "pallas"):
         grid = compact_grid(grid, cfg.ndt_max_active_cells)
     d1, d2 = gauss_constants(cfg.ndt_resolution, cfg.ndt_outlier_ratio)
 
@@ -209,6 +209,12 @@ class FrontEnd:
         self.pose_history: list[np.ndarray] = []
         self.cov_history: list[np.ndarray] = []
         self.metrics: list[dict] = []
+        # loop-closure cost accounting (BASELINE.md scale runs):
+        # t_backend = detection/verification/optimization wall-time,
+        # t_remake = map-rewrite wall-time after accepted corrections.
+        self.t_backend = 0.0
+        self.t_remake = 0.0
+        self.n_corrections = 0
         self.backend = None
         if cfg.loop_enable:
             from ndt_slam_tpu.graph.backend import GraphBackend
@@ -221,7 +227,7 @@ class FrontEnd:
         The per-frame registration step still compiles on frame 1 —
         call this for latency-sensitive runs and fair benchmarks."""
         from ndt_slam_tpu.mapping.pointcloud_map import (
-            _add_scan_and_target, _concat, _voxel,
+            _add_scan_and_target, _append, _concat, _interior, _voxel,
         )
         cfg = self.cfg
         scan = PointBuffer.empty(cfg.max_scan_points)
@@ -254,6 +260,13 @@ class FrontEnd:
         outs.append(_concat(proc, c, cfg.max_local_map_points))
         outs.append(_concat(c, PointBuffer.empty(1),
                             cfg.max_local_map_points))
+        # new-submap seeding path (Submap.add_scan, unfused): the
+        # standalone _append, and the standalone _interior when
+        # remove_moving — first exercised at the first submap close.
+        outs.append(_append(proc, zero, scan))
+        if cfg.remove_moving:
+            outs.append(_interior(scan, scan, scan,
+                                  cfg.diff_resol, cfg.thre_neighbor))
         jax.block_until_ready(outs)
 
     def process(self, scan_xy_local: np.ndarray, odo_pose_deg: np.ndarray,
@@ -365,13 +378,34 @@ class FrontEnd:
 
         # ---- pose-graph backend (loop closure) -------------------------
         if self.backend is not None:
+            import time as _time
             self.backend.add_frame(sid, fused, cov, scan)
             if (self.cnt - 1) % max(1, cfg.loop_check_skip) == 0:
+                t0 = _time.perf_counter()
                 corrected = self.backend.try_close(sid, fused, scan)
+                self.t_backend += _time.perf_counter() - t0
                 if corrected is not None:
+                    t1 = _time.perf_counter()
                     self._apply_correction(corrected)
+                    self.t_remake += _time.perf_counter() - t1
+                    self.n_corrections += 1
                     rec["loop_closed"] = True
         return rec
+
+    def finalize(self):
+        """End-of-run hook: apply any loop-closure correction the
+        deferred optimizer (cfg.loop_opt_min_frames) is still holding."""
+        if self.backend is None:
+            return
+        import time as _time
+        t0 = _time.perf_counter()
+        corrected = self.backend.flush()
+        self.t_backend += _time.perf_counter() - t0
+        if corrected is not None:
+            t1 = _time.perf_counter()
+            self._apply_correction(corrected)
+            self.t_remake += _time.perf_counter() - t1
+            self.n_corrections += 1
 
     def _apply_correction(self, corrected_deg: np.ndarray):
         """Rewrite trajectory + map through pose-graph-corrected poses

@@ -103,6 +103,7 @@ def run_slam(
             import jax
             jax.profiler.stop_trace()
         jl.close()
+    fe.finalize()  # apply any deferred loop-closure correction
     if checkpoint_path and checkpoint_save and n > resume_skip:
         from ndt_slam_tpu.pipeline.checkpoint import save_checkpoint
         save_checkpoint(fe, checkpoint_path)

@@ -165,3 +165,110 @@ def test_fused_add_points_matches_unfused():
                 assert cur_f.n_scans == cur_u.n_scans, key
                 assert _buf_eq(cur_f.proc, cur_u.proc), key
             assert len(pm_f.submaps) == len(pm_u.submaps) >= 2
+
+
+def _build_pipeline_map(cfg, n=12, seed=3):
+    """A PointCloudMap grown the way FrontEnd grows it (local scans
+    recorded for remake), returning the map."""
+    from ndt_slam_tpu.core.pose2 import global_points
+    from ndt_slam_tpu.core.points import PAD_COORD
+
+    rng = np.random.default_rng(seed)
+    pm = PointCloudMap(cfg)
+    for i in range(n):
+        pose = np.array([0.45 * i, 0.02 * i, 2.0 * i], dtype=np.float32)
+        local = rng.standard_normal((35, 2)).astype(np.float32) * 0.8
+        buf = pad_points(local, cfg.max_scan_points)
+        g = global_points(jnp.asarray(pose), buf.xy)
+        gbuf = PointBuffer(jnp.where(buf.mask[:, None], g, PAD_COORD),
+                           buf.mask)
+        pm.add_pose(pose)
+        pm.add_points(gbuf, make_target=True)
+        pm.set_last_pose(pose)
+        pm.record_local_scan(local)
+    return pm
+
+
+def test_remake_maps_incremental_matches_full():
+    """Incremental remake (skip submaps whose poses didn't move) must
+    produce the same clouds as a forced full rebuild when the early
+    trajectory is untouched — and must actually skip those submaps."""
+    for remove_moving in (True, False):
+        cfg = SlamConfig.small(submap_sep_thre=1.5,
+                               remove_moving=remove_moving)
+        pm_inc = _build_pipeline_map(cfg)
+        pm_full = _build_pipeline_map(cfg)
+        assert len(pm_inc.submaps) >= 3  # several closed + one open
+
+        new_poses = np.stack(pm_inc.poses).astype(np.float32)
+        new_poses[8:, 0] += 0.3          # correction moves only the tail
+        new_poses[8:, 2] += 1.5
+
+        pm_inc.remake_maps(new_poses)    # cfg thresholds (0.05 m)
+        pm_full.remake_maps(new_poses, thresh_trans=-1.0, thresh_rot=-1.0)
+
+        assert pm_full.remake_stats["kept"] == 0
+        assert pm_inc.remake_stats["kept"] >= 1, remove_moving
+        assert pm_inc.remake_stats["rebuilt"] >= 1
+
+        assert len(pm_inc.submaps) == len(pm_full.submaps)
+        for k, (sa, sb) in enumerate(
+                zip(pm_inc.submaps[:-1], pm_full.submaps[:-1])):
+            assert sa.cnt_s == sb.cnt_s and sa.cnt_e == sb.cnt_e
+            assert _buf_eq(sa.final_cloud, sb.final_cloud), (
+                remove_moving, k)
+        assert _buf_eq(pm_inc.submaps[-1].cloud(),
+                       pm_full.submaps[-1].cloud())
+        assert _buf_eq(pm_inc.registration_target(),
+                       pm_full.registration_target())
+        assert abs(pm_inc.atd - pm_full.atd) < 1e-5
+
+
+def test_remake_maps_preserves_growth():
+    """After an incremental remake the map keeps growing correctly:
+    the open submap's raw tail was rebuilt, so subsequent add_points
+    (incl. a submap close) behave exactly like a never-corrected map
+    fed the corrected poses from the start."""
+    from ndt_slam_tpu.core.pose2 import global_points
+    from ndt_slam_tpu.core.points import PAD_COORD
+
+    cfg = SlamConfig.small(submap_sep_thre=1.5, remove_moving=True)
+    pm = _build_pipeline_map(cfg, n=10)
+    new_poses = np.stack(pm.poses).astype(np.float32)
+    new_poses[:, 0] += 0.1  # move everything -> all submaps rebuild
+    pm.remake_maps(new_poses)
+
+    # reference: a map built with the corrected poses from scratch
+    ref = PointCloudMap(cfg)
+    rng = np.random.default_rng(3)
+    locals_ = [rng.standard_normal((35, 2)).astype(np.float32) * 0.8
+               for _ in range(10)]
+    for pose, local in zip(new_poses, locals_):
+        buf = pad_points(local, cfg.max_scan_points)
+        g = global_points(jnp.asarray(pose), buf.xy)
+        gbuf = PointBuffer(jnp.where(buf.mask[:, None], g, PAD_COORD),
+                           buf.mask)
+        ref.add_pose(pose)
+        ref.add_points(gbuf, make_target=True)
+        ref.set_last_pose(pose)
+        ref.record_local_scan(local)
+
+    # grow both by 3 more frames (crosses a submap close)
+    rng2a, rng2b = (np.random.default_rng(99), np.random.default_rng(99))
+    for j in range(3):
+        pose = new_poses[-1] + np.array(
+            [0.45 * (j + 1), 0.0, 0.0], np.float32)
+        local = rng2a.standard_normal((35, 2)).astype(np.float32) * 0.8
+        local_b = rng2b.standard_normal((35, 2)).astype(np.float32) * 0.8
+        for m, lo in ((pm, local), (ref, local_b)):
+            buf = pad_points(lo, cfg.max_scan_points)
+            g = global_points(jnp.asarray(pose), buf.xy)
+            gbuf = PointBuffer(
+                jnp.where(buf.mask[:, None], g, PAD_COORD), buf.mask)
+            m.add_pose(pose)
+            m.add_points(gbuf, make_target=True)
+            m.set_last_pose(pose)
+            m.record_local_scan(lo)
+
+    assert len(pm.submaps) == len(ref.submaps)
+    assert _buf_eq(pm.registration_target(), ref.registration_target())
