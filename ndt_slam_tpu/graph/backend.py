@@ -41,6 +41,14 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _pos_var(cov_deg: np.ndarray) -> float:
+    """Largest eigenvalue of the 2x2 position block of a pose
+    covariance (closed form) — the drift scale for candidate search."""
+    a, b, c = float(cov_deg[0, 0]), float(cov_deg[0, 1]), float(cov_deg[1, 1])
+    h = 0.5 * (a + c)
+    return max(0.0, h + np.sqrt(max(0.0, (0.5 * (a - c)) ** 2 + b * b)))
+
+
 class GraphBackend:
     """Host-side bookkeeping + device-side verification/optimization.
 
@@ -66,6 +74,9 @@ class GraphBackend:
         # at which that last correction ran.
         self._pending_edges = 0
         self._last_opt_node = -(10 ** 9)
+        # accumulated per-frame position variance (chain model),
+        # feeding the drift-aware candidate radius; see add_frame
+        self._cum_pos_var = 0.0
         self.mesh = mesh
         self._verify_sharded = None
         self._batch_capacity = cfg.loop_max_candidates
@@ -88,6 +99,13 @@ class GraphBackend:
         node = len(self.node_poses_rad)
         self.node_poses_rad.append(pose_rad)
         self.node_sids.append(int(sid))
+        # Chain-model drift accumulator: the EKF's absolute covariance
+        # saturates once scan matching succeeds (the capped Q dominates
+        # the prior), so it cannot measure drift since an OLD keyframe.
+        # The per-frame fused covariance ~ the per-step relative
+        # uncertainty, and independent steps sum — cum_now - cum_k is
+        # the variance of the current pose relative to keyframe k.
+        self._cum_pos_var += _pos_var(np.asarray(cov_deg))
 
         if node > 0:
             prev_deg = self._pose_rad_to_deg(self.node_poses_rad[node - 1])
@@ -102,7 +120,8 @@ class GraphBackend:
             self.odom_edges.append((z_rad, omega))
 
         if node % max(1, self.cfg.loop_keyframe_skip) == 0:
-            self.keyframes.add(sid, fused_pose_deg, scan_local)
+            self.keyframes.add(sid, fused_pose_deg, scan_local,
+                               pos_var=self._cum_pos_var)
         return node
 
     @staticmethod
@@ -132,6 +151,7 @@ class GraphBackend:
         cand = self.keyframes.candidates(
             np.asarray(fused_pose_deg), sid,
             max_candidates=cfg.loop_max_candidates,
+            cur_pos_var=self._cum_pos_var,
         )
         if cand:
             self._verify_and_add_edges(sid, fused_pose_deg, scan_local,

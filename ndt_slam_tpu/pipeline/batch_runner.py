@@ -40,8 +40,31 @@ class BatchFrontEnd:
         self.frontends: List[FrontEnd] = [
             FrontEnd(cfg) for _ in range(n_seq)
         ]
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            assert n_seq % dp == 0, (
+                f"batch size {n_seq} must divide the dp axis ({dp})"
+            )
         self._mesh = mesh
         self._step = self._make_step(cfg, mesh)
+        # Dummy rows for idle slots (bootstrap / exhausted / skipped):
+        # the batch dimension NEVER changes, so the step compiles once
+        # and dp-divisibility holds for the whole run regardless of
+        # which sequences are live (VERDICT r2 weak #4). Masked-empty
+        # inputs produce finite garbage that is simply discarded.
+        from ndt_slam_tpu.core.points import PAD_COORD
+        import jax.numpy as _jnp
+        S, L = cfg.max_scan_points, cfg.max_local_map_points
+        self._dummy = (
+            _jnp.full((S, 2), PAD_COORD, _jnp.float32),   # scan_xy
+            _jnp.zeros((S,), bool),                        # scan_mask
+            _jnp.zeros((3,), _jnp.float32),                # odo
+            _jnp.zeros((3,), _jnp.float32),                # prev_odo
+            _jnp.zeros((3,), _jnp.float32),                # last_pose
+            _jnp.eye(3, dtype=_jnp.float32) * 1e-4,        # last_cov
+            _jnp.full((L, 2), PAD_COORD, _jnp.float32),    # local_xy
+            _jnp.zeros((L,), bool),                        # local_mask
+        )
 
     @staticmethod
     def _make_step(cfg: SlamConfig, mesh):
@@ -105,33 +128,30 @@ class BatchFrontEnd:
         if not compute:
             return recs
 
-        def stack(xs):
-            return jnp.stack(list(xs))
+        # Full-width rows: live slots get their real inputs, idle slots
+        # the cached dummies — the stacked shapes are ALWAYS [B, ...].
+        rows = [list(self._dummy) for _ in range(B)]
+        for (i, _sid, scan, _rs, _odo, dev_in) in compute:
+            odo_d, prev_d, last_d, local = dev_in
+            rows[i] = [scan.xy, scan.mask, odo_d, prev_d, last_d,
+                       fes[i].last_cov, local.xy, local.mask]
 
-        scan_xy = stack(c[2].xy for c in compute)
-        scan_mask = stack(c[2].mask for c in compute)
-        odo_dev = stack(c[5][0] for c in compute)
-        prev_odo = stack(c[5][1] for c in compute)
-        last_pose = stack(c[5][2] for c in compute)
-        last_cov = stack(fes[c[0]].last_cov for c in compute)
-        local_xy = stack(c[5][3].xy for c in compute)
-        local_mask = stack(c[5][3].mask for c in compute)
-
-        out = self._step(
-            scan_xy, scan_mask, odo_dev, prev_odo, last_pose, last_cov,
-            local_xy, local_mask,
-        )
+        stacked = [
+            jnp.stack([rows[i][f] for i in range(B)]) for f in range(8)
+        ]
+        out = self._step(*stacked)
+        odo_dev = stacked[2]
         # ONE transfer for the whole batch's small outputs.
         host = jax.device_get((
             out.fused_pose, out.cov, out.cost, out.successful,
             out.est_pose, out.iterations, out.matched,
             out.error_pose, out.trans_probability,
         ))
-        for b, (i, sid, scan, rs, odo, _dev) in enumerate(compute):
-            out_i = jax.tree.map(lambda a, b=b: a[b], out)
-            host_i = tuple(h[b] for h in host)
+        for (i, sid, scan, rs, odo, _dev) in compute:
+            out_i = jax.tree.map(lambda a, i=i: a[i], out)
+            host_i = tuple(h[i] for h in host)
             recs[i] = fes[i]._finish_frame(
-                out_i, host_i, scan, rs, odo, odo_dev[b], sid
+                out_i, host_i, scan, rs, odo, odo_dev[i], sid
             )
         return recs
 
