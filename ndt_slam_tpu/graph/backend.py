@@ -19,7 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ndt_slam_tpu.config import SlamConfig
-from ndt_slam_tpu.core import pose2
+
 from ndt_slam_tpu.core.points import PointBuffer
 from ndt_slam_tpu.graph.keyframes import KeyframeStore
 from ndt_slam_tpu.graph.loop_closure import verify_candidates
@@ -39,6 +39,24 @@ def _next_pow2(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+def _cal_motion_np(cur_deg: np.ndarray, prev_deg: np.ndarray) -> np.ndarray:
+    """Host-side cur (-) prev in prev's robot frame (same math as
+    pose2.cal_motion / reference src/Pose2D.cpp:5-14). The backend runs
+    this EVERY frame; the jnp version would cost a device dispatch +
+    fetch round trip per call — ~50 ms over a remote-TPU tunnel."""
+    from ndt_slam_tpu.core.angles import sub_deg
+
+    dx = float(cur_deg[0]) - float(prev_deg[0])
+    dy = float(cur_deg[1]) - float(prev_deg[1])
+    th = np.radians(float(prev_deg[2]))
+    c, s = np.cos(th), np.sin(th)
+    return np.array(
+        [c * dx + s * dy, -s * dx + c * dy,
+         sub_deg(float(cur_deg[2]), float(prev_deg[2]))],
+        np.float32,
+    )
 
 
 def _pos_var(cov_deg: np.ndarray) -> float:
@@ -109,11 +127,8 @@ class GraphBackend:
 
         if node > 0:
             prev_deg = self._pose_rad_to_deg(self.node_poses_rad[node - 1])
-            z_deg = np.asarray(
-                pose2.cal_motion(
-                    jnp.asarray(fused_pose_deg, jnp.float32),
-                    jnp.asarray(prev_deg, jnp.float32),
-                )
+            z_deg = _cal_motion_np(
+                np.asarray(fused_pose_deg, np.float32), prev_deg
             )
             z_rad = _pose_deg_to_rad(z_deg)
             omega = self._odom_information(np.asarray(cov_deg))
@@ -180,11 +195,9 @@ class GraphBackend:
         for b, k in enumerate(cand):
             tgt_xy[b] = self.keyframes.scan_xy[k][:S]
             tgt_mask[b] = self.keyframes.scan_mask[k][:S]
-            rel_deg = np.asarray(
-                pose2.cal_motion(
-                    jnp.asarray(fused_pose_deg, jnp.float32),
-                    jnp.asarray(self.keyframes.poses_deg[k], jnp.float32),
-                )
+            rel_deg = _cal_motion_np(
+                np.asarray(fused_pose_deg, np.float32),
+                self.keyframes.poses_deg[k],
             )
             init[b] = _pose_deg_to_rad(rel_deg)
 

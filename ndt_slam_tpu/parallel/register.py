@@ -32,7 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ndt_slam_tpu.config import SlamConfig
 from ndt_slam_tpu.core import pose2
 from ndt_slam_tpu.core.points import PAD_COORD
-from ndt_slam_tpu.fuse.ekf import fuse_pose, odometry_covariance
+from ndt_slam_tpu.fuse.ekf import fuse_pose, gate_and_fuse, odometry_covariance
 from ndt_slam_tpu.ndt.fitness import fitness_score
 from ndt_slam_tpu.ndt.compact import compact_grid
 from ndt_slam_tpu.ndt.grid import grid_finalize, grid_moments, grid_origin
@@ -154,6 +154,101 @@ def make_batch_register(
         )
     )
     return fn
+
+
+class SeqStepOut(NamedTuple):
+    """Replicated outputs of the multi-host sequential frame step —
+    field-compatible with pipeline/frontend.FrameResult minus
+    global_xy (the map-frame scan is recomputed locally per process;
+    see pipeline/dist_runner.DistFrontEnd)."""
+    est_pose: jnp.ndarray
+    fused_pose: jnp.ndarray
+    cov: jnp.ndarray
+    cost: jnp.ndarray
+    successful: jnp.ndarray
+    iterations: jnp.ndarray
+    matched: jnp.ndarray
+    error_pose: jnp.ndarray
+    trans_probability: jnp.ndarray
+
+
+def make_sharded_sequential_step(mesh: Mesh, cfg: SlamConfig,
+                                 axis: str = "pt"):
+    """ONE frame of the sequential SLAM loop with the point buffers
+    (voxel-filtered source + registration target) sharded over `axis`
+    of a GLOBAL device mesh — the multi-host execution of
+    pipeline/frontend._registration_step (minus the source voxel
+    filter, which the caller runs replicated first, and the map-frame
+    scan transform, recomputed locally from the replicated fused pose).
+    The accept/fuse tail is fuse/ekf.gate_and_fuse — shared with the
+    single-device step, so the two cannot drift.
+
+    Returns a jitted fn(src_xy, src_mask, odo, prev_odo, last_pose,
+    last_cov, tgt_xy, tgt_mask) -> SeqStepOut (all outputs replicated).
+    Buffer capacities must divide the axis size.
+    """
+    nx, ny, res = cfg.grid_cells_x, cfg.grid_cells_y, cfg.ndt_resolution
+
+    def body(src_xy, src_mask, odo, prev_odo, last_pose, last_cov,
+             tgt_xy, tgt_mask):
+        odo_motion = pose2.cal_motion(odo, prev_odo)
+        pred_pose = pose2.cal_pred_pose(odo_motion, last_pose)
+        init_rad = pose2.pose_deg_to_rad(pred_pose)
+
+        origin = grid_origin(pred_pose[:2], nx, ny, res)
+        mom = grid_moments(tgt_xy, tgt_mask, origin, nx, ny, res)
+        mom = tuple(jax.lax.psum(m, axis) for m in mom)
+        grid = grid_finalize(
+            mom, origin, nx, ny, res, min_pts=cfg.ndt_min_points_per_cell
+        )
+        if cfg.resolved_ndt_engine in ("compact", "pallas"):
+            grid = compact_grid(grid, cfg.ndt_max_active_cells)
+        d1, d2 = gauss_constants(cfg.ndt_resolution, cfg.ndt_outlier_ratio)
+        r = align(
+            init_rad, src_xy, src_mask, grid, d1, d2,
+            max_iterations=cfg.ndt_max_iterations,
+            step_size=cfg.ndt_step_size,
+            trans_eps=cfg.ndt_trans_eps,
+            radius=cfg.ndt_neighborhood,
+            axis_name=axis,
+            use_pallas=cfg.resolved_ndt_engine == "pallas",
+        )
+        est_pose = pose2.pose_rad_to_deg(r.pose_rad)
+
+        src_map = pose2.global_points(est_pose, src_xy)
+        src_map = jnp.where(src_mask[:, None], src_map, PAD_COORD)
+        fit = fitness_score(
+            src_map, src_mask, tgt_xy, tgt_mask,
+            axis_name=axis, sharded="both",
+        )
+        cost = jnp.where(r.converged, fit, cfg.failed_cost)
+
+        fused, cov, accept = gate_and_fuse(
+            cfg, pred_pose, est_pose, r.hessian, cost,
+            odo_motion, last_pose, last_cov,
+        )
+        error_pose = pose2.cal_global_motion(fused, odo)
+        n_src = jax.lax.psum(
+            jnp.sum(src_mask.astype(jnp.float32)), axis
+        )
+        tprob = -r.objective / jnp.maximum(n_src, 1.0)
+        return SeqStepOut(
+            est_pose=est_pose, fused_pose=fused, cov=cov, cost=cost,
+            successful=accept, iterations=r.iterations,
+            matched=r.matched, error_pose=error_pose,
+            trans_probability=tprob,
+        )
+
+    pt = P(axis)
+    rep = P()
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(pt, pt, rep, rep, rep, rep, pt, pt),
+            out_specs=SeqStepOut(*([rep] * 9)),
+            check_vma=cfg.resolved_ndt_engine != "pallas",
+        )
+    )
 
 
 class FrameStepOut(NamedTuple):

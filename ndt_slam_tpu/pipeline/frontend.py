@@ -41,7 +41,7 @@ from ndt_slam_tpu.ndt.grid import build_grid
 from ndt_slam_tpu.ndt.score import gauss_constants
 from ndt_slam_tpu.ndt.solve import align
 from ndt_slam_tpu.ndt.fitness import fitness_score
-from ndt_slam_tpu.fuse.ekf import fuse_pose, odometry_covariance
+from ndt_slam_tpu.fuse.ekf import gate_and_fuse
 
 
 class FrameResult(NamedTuple):
@@ -110,60 +110,13 @@ def _registration_step(
     else:
         fit = fitness_score(src_map, src.mask, local_xy, local_mask)
     cost = jnp.where(res.converged, fit, cfg.failed_cost)
-    # innovation gate vs the prediction (see SlamConfig.max_innovation_*)
-    innov_t = jnp.hypot(
-        est_pose[0] - pred_pose[0], est_pose[1] - pred_pose[1]
-    )
-    innov_r = jnp.abs(sub_deg(est_pose[2], pred_pose[2]))
-    plausible = (
-        (innov_t <= cfg.max_innovation_trans)
-        & (innov_r <= cfg.max_innovation_rot)
-    )
-    successful = (cost <= cfg.score_thre) & plausible
-
-    # --- NDT covariance Q = H^-1 * coe (reference: src/PoseEstimator.cpp:52-64;
-    #     our H is the Hessian of E = -score, i.e. already "-H" there).
-    #     Conscious fix over the reference (SURVEY.md §6.3 item 3): the
-    #     reference inverts H unconditionally, feeding an indefinite Q
-    #     into the Kalman update when the Hessian isn't PD. Here Q is
-    #     repaired by flooring the curvature eigenvalues, so fusion
-    #     stays stable while the information content is preserved.
-    H = res.hessian
-    H = jnp.where(jnp.all(jnp.isfinite(H)), H, jnp.eye(3, dtype=H.dtype))
-    evals, evecs = jnp.linalg.eigh(H)
-    inv_e = cfg.coe_ndt_cov / jnp.clip(evals, 1e-3, None)
-    # Cap Q's variances into [1e-6, 1e-2] (1 mm .. 10 cm std): a saddle
-    # Hessian (negative eigenvalue -> clipped curvature -> ~1e3
-    # variance) reconstructed next to ~1e-6 confident directions is so
-    # ill-conditioned that f32 reconstruction noise makes Q indefinite
-    # and the Kalman gain explodes (observed: |K| ~ 45, a 2.8 m fused
-    # teleport). Bounded conditioning keeps Q PSD to f32 accuracy.
-    inv_e = jnp.clip(inv_e, 1e-6, 1e-2)
-    q_mat = (evecs * inv_e[None, :]) @ evecs.T
-
-    # --- fuse or dead-reckon (reference: src/ScanMatcher.cpp:60-66)
-    fused_k, cov_k = fuse_pose(
-        pred_pose, est_pose, odo_motion, last_pose, last_cov, q_mat,
-        cfg.del_time, cfg.coe_vel, cfg.coe_omega,
-    )
-    cov_odo = odometry_covariance(
+    # --- covariance repair + fitness/innovation gates + Kalman fuse or
+    #     dead-reckon (fuse/ekf.gate_and_fuse — single source of truth,
+    #     shared with the multi-host sequential step)
+    fused, cov, accept = gate_and_fuse(
+        cfg, pred_pose, est_pose, res.hessian, cost,
         odo_motion, last_pose, last_cov,
-        cfg.del_time, cfg.coe_vel, cfg.coe_omega,
     )
-    # The fused pose must also stay within the innovation gate — a
-    # pathological gain can move it far even when est is plausible.
-    fused_t = jnp.hypot(
-        fused_k[0] - pred_pose[0], fused_k[1] - pred_pose[1]
-    )
-    fused_r = jnp.abs(sub_deg(fused_k[2], pred_pose[2]))
-    fused_ok = (
-        (fused_t <= cfg.max_innovation_trans)
-        & (fused_r <= cfg.max_innovation_rot)
-        & jnp.all(jnp.isfinite(fused_k))
-    )
-    accept = successful & fused_ok
-    fused = jnp.where(accept, fused_k, pred_pose)
-    cov = jnp.where(accept, cov_k, cov_odo)
 
     # --- scan into map frame at the fused pose (growMap input,
     #     reference: src/ScanMatcher.cpp:93-109)
@@ -312,12 +265,8 @@ class FrontEnd:
         (odo_dev, prev_odo_dev, last_pose_dev, local) = (
             self._frame_inputs(odo)
         )
-        out = _registration_step(
-            cfg, scan.xy, scan.mask,
-            odo_dev, prev_odo_dev,
-            last_pose_dev, self.last_cov,
-            local.xy, local.mask,
-        )
+        out = self._run_step(scan, odo_dev, prev_odo_dev,
+                             last_pose_dev, local)
         # One batched transfer for every small per-frame output (a
         # field-by-field np.asarray costs one device round trip EACH).
         host_vals = jax.device_get((
@@ -327,6 +276,17 @@ class FrontEnd:
         ))
         return self._finish_frame(out, host_vals, scan, rs, odo,
                                   odo_dev, sid)
+
+    def _run_step(self, scan: PointBuffer, odo_dev, prev_odo_dev,
+                  last_pose_dev, local: PointBuffer) -> FrameResult:
+        """Dispatch the per-frame device step. The multi-host runner
+        (pipeline/dist_runner.DistFrontEnd) overrides this to run the
+        registration sharded over the global device set."""
+        return _registration_step(
+            self.cfg, scan.xy, scan.mask,
+            odo_dev, prev_odo_dev, last_pose_dev, self.last_cov,
+            local.xy, local.mask,
+        )
 
     def _frame_inputs(self, odo: np.ndarray):
         """Device-side inputs of the registration step (everything but

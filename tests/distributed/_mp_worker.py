@@ -1,13 +1,21 @@
-"""Worker process for the 2-process `jax.distributed` CPU test.
+"""Worker process for the 2-process `jax.distributed` CPU tests.
 
 Usage: python _mp_worker.py <process_id> <num_processes> <port> <out.npz>
+                            [batch|seq]
 
 Each process brings 4 virtual CPU devices; `jax.distributed.initialize`
 (via ndt_slam_tpu.parallel.dist.initialize — the same entry point
-cli/run_slam.py --distributed uses) wires them into one global runtime,
-and the loop-closure batch-registration workload runs sharded over ALL
-processes' devices with gloo host-collectives underneath XLA's named
-collectives. Process 0 writes the batch poses for the driver to check.
+cli/run_slam.py --distributed uses) wires them into one global runtime.
+
+Modes:
+  batch (default) — loop-closure batch registration sharded over ALL
+    processes' devices (gloo host-collectives under XLA's named
+    collectives). Process 0 writes the batch poses.
+  seq — the SEQUENTIAL SLAM loop: only process 0 holds the frames;
+    each frame is shipped by `broadcast_frame` and registration runs
+    with point buffers sharded over the global 8-device mesh
+    (pipeline/dist_runner.run_slam_distributed). Process 0 writes the
+    trajectory.
 """
 
 import os
@@ -16,6 +24,7 @@ import sys
 pid, nprocs, port, out_path = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 )
+mode = sys.argv[5] if len(sys.argv) > 5 else "batch"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -68,6 +77,26 @@ def room_scan(n, pose=(0.0, 0.0, 0.0), noise=0.0, seed=0):
         pts.append([t * np.cos(a), t * np.sin(a)])
     return np.asarray(pts, dtype=np.float32)
 
+
+if mode == "seq":
+    from ndt_slam_tpu.io.simulate import simulate_sequence
+    from ndt_slam_tpu.pipeline.dist_runner import run_slam_distributed
+
+    seq_cfg = SlamConfig.small(
+        end_frame=10_000, ndt_trans_eps=1e-4, ndt_max_iterations=80
+    )
+    # ONLY the coordinator holds the dataset — the other process gets
+    # every frame via the broadcast, which is the thing under test.
+    frames = (
+        simulate_sequence(n_frames=10, beams=181, seed=3)
+        if is_coordinator() else None
+    )
+    fe = run_slam_distributed(frames, seq_cfg)
+    if is_coordinator():
+        np.savez(out_path, poses=fe.get_poses(),
+                 n_global_devices=jax.device_count())
+    print(f"[p{pid}] seq done, devices={jax.device_count()}", flush=True)
+    sys.exit(0)
 
 # Deterministic workload, identical on every process.
 POSES = [(0.03, 0.02, -0.03), (-0.02, 0.03, 0.04),
