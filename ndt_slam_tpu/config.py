@@ -117,6 +117,11 @@ class SlamConfig:
     loop_min_overlap: float = 0.55     # min matched-source fraction to accept
     loop_stage_mults: tuple = (4, 2, 1)  # coarse-to-fine resolution ladder
     loop_max_candidates: int = 4       # verified per frame (batched)
+    # Noise floor for loop-edge information calibration: the strongest
+    # Hessian direction carries 1/sigma^2 with sigma = max(sqrt(verify
+    # residual), this) [m]; weaker directions scale down with the
+    # spectrum (graph/backend._verify_and_add_edges).
+    loop_info_sigma_floor: float = 0.03
     loop_keyframe_skip: int = 5        # store a keyframe every N frames
     loop_check_skip: int = 5           # attempt detection every N frames
     max_keyframes: int = 4096          # hard bound; store decimates at capacity

@@ -87,6 +87,9 @@ class GraphBackend:
         self.odom_edges: List[tuple] = []             # (z_rad[3], omega[3,3])
         self.loop_edges: List[tuple] = []             # (i, j, z_rad[3], omega[3,3])
         self.loops_accepted = 0
+        # per-accepted-edge observability record (sids, measurement,
+        # verify gates, information spectrum) for offline analysis
+        self.edge_log: List[dict] = []
         # deferred-optimization state (cfg.loop_opt_min_frames): edges
         # accepted since the last optimize+remake, and the node index
         # at which that last correction ran.
@@ -226,17 +229,42 @@ class GraphBackend:
             if old_node is None:
                 continue
             z_rad = np.asarray(out.rel_pose_rad[b], np.float32)
-            # Information from the fine-stage objective Hessian (the
-            # reference takes Q = (-H)^-1 * coe, src/PoseEstimator.cpp:52-64;
-            # here H of E is already the information shape). Floor the
-            # eigenvalues for safety.
+            # Degeneracy-aware, noise-calibrated edge information.
+            # SHAPE comes from the fine-stage objective Hessian's
+            # spectrum (the reference takes Q = (-H)^-1 * coe,
+            # src/PoseEstimator.cpp:52-64): in a corridor the
+            # along-axis eigenvalue sits orders of magnitude below the
+            # others — a slid-but-locally-perfect match (the classic
+            # corridor aliasing failure, observed at 23/95 accepted
+            # edges on the killian fixture, errors to 4.4 m at 0 deg)
+            # is wrong EXACTLY along that weak direction, so its weight
+            # must follow the spectrum down to ~zero. The old floor
+            # (clip up to 1.0) kept real weight there and warped the
+            # graph by meters. SCALE: the raw Hessian (~1e6) would give
+            # the strong directions mm-level confidence; instead the
+            # strongest direction is calibrated to the verify
+            # residual: sigma = max(sqrt(icp mean-sq err),
+            # loop_info_sigma_floor), conservative because per-point
+            # errors are correlated (no sqrt-N bonus).
             H = np.asarray(out.hessian[b], np.float64)
             w, V = np.linalg.eigh((H + H.T) / 2)
-            w = np.clip(w, 1.0, 1e6)
-            omega = (V * w) @ V.T
+            w = np.clip(w, 0.0, None)
+            wmax = max(float(w[-1]), 1e-9)
+            sigma = max(np.sqrt(max(float(out.cost[b]), 0.0)),
+                        cfg.loop_info_sigma_floor)
+            omega = (V * (w * ((1.0 / sigma ** 2) / wmax))) @ V.T
             self.loop_edges.append(
                 (old_node, cur_node, z_rad, omega.astype(np.float32))
             )
+            self.edge_log.append({
+                "sid_old": int(self.keyframes.sids[k]), "sid_new": int(sid),
+                "z_rad": z_rad.tolist(),
+                "cost": float(out.cost[b]),
+                "overlap": float(out.overlap[b]),
+                "overlap_tgt": float(out.overlap_tgt[b]),
+                "eigs": np.linalg.eigvalsh(
+                    (H + H.T) / 2).tolist(),
+            })
             self.loops_accepted += 1
             self._pending_edges += 1
 

@@ -114,6 +114,96 @@ def _add_scan_and_target(
     return proc, proc_count, target
 
 
+@partial(jax.jit, static_argnames=(
+    "remove_moving", "is_first", "cap_sub", "resol", "thre", "leaf",
+    "do_close"))
+def _rebuild_submap_fused(
+    scans_xy,      # [n, S, 2] local-frame scans (padded along n)
+    scans_mask,    # [n, S]
+    poses_deg,     # [n, 3] corrected poses
+    active,        # [n] bool: real scan vs n-padding
+    carried,       # [n] bool: seeded from the previous submap
+    *, remove_moving: bool, is_first: bool, cap_sub: int,
+    resol: float, thre: float, leaf: float, do_close: bool,
+):
+    """Replay a whole submap's add_scan sequence in ONE device program
+    (lax.scan over scans) — the incremental remake path dispatches once
+    per rebuilt submap instead of ~3x per scan, which over a remote-TPU
+    tunnel is the difference between map rewrites costing less than
+    registration and costing 3x more (VERDICT r2 next-round #2).
+    Branch semantics mirror Submap.step_flags()/add_scan exactly
+    (parity: tests/unit/test_mapping.py::test_fused_rebuild_matches_loop).
+
+    Returns (proc_xy, proc_mask, proc_count, proj_xy, proj_mask,
+    closed_xy, closed_mask); closed_* is the voxel-filtered final cloud
+    (meaningful only when do_close).
+    """
+    from ndt_slam_tpu.core.pose2 import global_points
+
+    n = scans_xy.shape[0]
+    proj = jax.vmap(global_points)(poses_deg, scans_xy)
+    proj_mask = scans_mask & active[:, None]
+    proj = jnp.where(proj_mask[:, :, None], proj, PAD_COORD)
+
+    dummy_xy = jnp.full_like(proj[:1], PAD_COORD)
+    dummy_m = jnp.zeros_like(proj_mask[:1])
+    prev1 = jnp.concatenate([dummy_xy, proj[:-1]])
+    prev1_m = jnp.concatenate([dummy_m, proj_mask[:-1]])
+    prev2 = jnp.concatenate([dummy_xy, dummy_xy, proj[:-2]])
+    prev2_m = jnp.concatenate([dummy_m, dummy_m, proj_mask[:-2]])
+
+    idx = jnp.arange(n)
+    if remove_moving:
+        append_f = active & (idx == 0) if is_first else jnp.zeros(n, bool)
+        interior_f = active & (idx >= 2)
+    else:
+        append_f = active & (jnp.ones(n, bool) if is_first else ~carried)
+        interior_f = jnp.zeros(n, bool)
+
+    def step(carry, x):
+        proc, count = carry
+        cur, m_cur, p1, m_p1, p2, m_p2, apf, inf = x
+        proc, count = _append(
+            proc, count, PointBuffer(cur, m_cur & apf)
+        )
+        if remove_moving:
+            processed = process_interior_scan(
+                PointBuffer(p2, m_p2), PointBuffer(p1, m_p1),
+                PointBuffer(cur, m_cur), resol, thre,
+            )
+            proc, count = _append(
+                proc, count,
+                PointBuffer(processed.xy, processed.mask & inf),
+            )
+        return (proc, count), None
+
+    (proc, count), _ = jax.lax.scan(
+        step,
+        (PointBuffer.empty(cap_sub), jnp.int32(0)),
+        (proj, proj_mask, prev1, prev1_m, prev2, prev2_m,
+         append_f, interior_f),
+    )
+
+    if do_close:
+        if remove_moving:
+            # newest raw scan rides along in the assembled cloud —
+            # the last ACTIVE slot (n may be padded past the real count)
+            last_i = jnp.maximum(
+                jnp.sum(active.astype(jnp.int32)) - 1, 0
+            )
+            last = PointBuffer(proj[last_i], proj_mask[last_i])
+            cloud = _concat(proc, last, cap_sub)
+        else:
+            cloud = proc
+        closed = voxel_filter(cloud, leaf)
+        closed_xy, closed_mask = closed.xy, closed.mask
+    else:
+        closed_xy = jnp.zeros((1, 2), jnp.float32)
+        closed_mask = jnp.zeros((1,), bool)
+    return (proc.xy, proc.mask, count, proj, proj_mask,
+            closed_xy, closed_mask)
+
+
 class Submap:
     """One submap: accumulated processed cloud + the raw 3-scan tail."""
 
@@ -346,16 +436,6 @@ class PointCloudMap:
     #    rebuilt — after a loop closure most of the old trajectory
     #    barely moves, so corrections cost O(moved submaps), not O(n)
     #    (VERDICT r2 weak #3).
-    def _project_scan(self, xy_local: np.ndarray, pose_deg) -> PointBuffer:
-        from ndt_slam_tpu.core.pose2 import global_points
-        from ndt_slam_tpu.core.points import pad_points
-
-        buf = pad_points(xy_local, self.cfg.max_scan_points)
-        g = global_points(jnp.asarray(pose_deg, dtype=jnp.float32), buf.xy)
-        return PointBuffer(
-            jnp.where(buf.mask[:, None], g, PAD_COORD), buf.mask
-        )
-
     def _rebuild_submap(
         self, sm: Submap, new_poses: np.ndarray, atd_s: float,
         is_open: bool,
@@ -363,22 +443,52 @@ class PointCloudMap:
         """Re-project one submap's scans through corrected poses over
         its FROZEN frame range (carried seeds + members), preserving
         every add_scan branch (first-scan-raw, carry-over, interior
-        dynamic removal) exactly as the forward pass ran it."""
+        dynamic removal) exactly as the forward pass ran it — as ONE
+        fused device program (_rebuild_submap_fused)."""
+        from ndt_slam_tpu.core.points import pad_points
+
+        cfg = self.cfg
         end = len(new_poses) if is_open else sm.cnt_e + 1
-        new = Submap(self.cfg, atd_s, sm.cnt_s)
-        if sm.cnt_s > 0:
-            for f in range(max(0, sm.cnt_s - 2), sm.cnt_s):
-                new.add_scan(
-                    self._project_scan(self.local_scans[f], new_poses[f]),
-                    carried=True,
-                )
-        for f in range(sm.cnt_s, end):
-            new.add_scan(
-                self._project_scan(self.local_scans[f], new_poses[f])
-            )
+        lo = max(0, sm.cnt_s - 2) if sm.cnt_s > 0 else 0
+        frames = list(range(lo, end))
+        n = len(frames)
+        n_pad = 8
+        while n_pad < n:
+            n_pad *= 2
+        S = cfg.max_scan_points
+        xs = np.full((n_pad, S, 2), np.float32(PAD_COORD), np.float32)
+        ms = np.zeros((n_pad, S), bool)
+        ps = np.zeros((n_pad, 3), np.float32)
+        for t, f in enumerate(frames):
+            b = pad_points(self.local_scans[f], S)
+            xs[t] = np.asarray(b.xy)
+            ms[t] = np.asarray(b.mask)
+            ps[t] = new_poses[f]
+        active = np.zeros(n_pad, bool)
+        active[:n] = True
+        carried = np.zeros(n_pad, bool)
+        carried[: sm.cnt_s - lo] = True
+
+        (proc_xy, proc_mask, count, proj, proj_mask,
+         closed_xy, closed_mask) = _rebuild_submap_fused(
+            jnp.asarray(xs), jnp.asarray(ms), jnp.asarray(ps),
+            jnp.asarray(active), jnp.asarray(carried),
+            remove_moving=cfg.remove_moving, is_first=sm.cnt_s == 0,
+            cap_sub=cfg.max_submap_points, resol=cfg.diff_resol,
+            thre=cfg.thre_neighbor, leaf=cfg.submap_leaf_size,
+            do_close=not is_open,
+        )
+        new = Submap(cfg, atd_s, sm.cnt_s)
+        new.proc = PointBuffer(proc_xy, proc_mask)
+        new.proc_count = count
+        new.n_scans = n
+        new.raw = [
+            PointBuffer(proj[i], proj_mask[i])
+            for i in range(max(0, n - 3), n)
+        ]
         if not is_open:
             new.cnt_e = sm.cnt_e
-            new.close()
+            new.final_cloud = PointBuffer(closed_xy, closed_mask)
         return new
 
     def remake_maps(

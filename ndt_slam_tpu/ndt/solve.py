@@ -40,6 +40,57 @@ from ndt_slam_tpu.ndt.score import ndt_negative_score, ndt_score_grad_hess
 _LS_SCALES = np.array([1.0, 0.5, 0.25, 0.1, 0.04, 0.015], dtype=np.float32)
 
 
+def _sym3_eig_bounds(H):
+    """(min_eig, max_abs_eig) of a symmetric 3x3, closed form (Smith's
+    trigonometric method). Replaces `jnp.linalg.eigvalsh` in the Newton
+    body: on TPU the general eigensolver lowers to an iterative QR loop
+    that serializes ~50 us per Newton iteration for a 3x3 whose bounds
+    we need only for the Levenberg ridge; the closed form is a handful
+    of VPU ops and fuses into the surrounding program."""
+    q = (H[0, 0] + H[1, 1] + H[2, 2]) / 3.0
+    p1 = H[0, 1] ** 2 + H[0, 2] ** 2 + H[1, 2] ** 2
+    p2 = ((H[0, 0] - q) ** 2 + (H[1, 1] - q) ** 2 + (H[2, 2] - q) ** 2
+          + 2.0 * p1)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    safe_p = jnp.maximum(p, 1e-20)
+    B = (H - q * jnp.eye(3, dtype=H.dtype)) / safe_p
+    detB = (
+        B[0, 0] * (B[1, 1] * B[2, 2] - B[1, 2] * B[2, 1])
+        - B[0, 1] * (B[1, 0] * B[2, 2] - B[1, 2] * B[2, 0])
+        + B[0, 2] * (B[1, 0] * B[2, 1] - B[1, 1] * B[2, 0])
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_max = q + 2.0 * p * jnp.cos(phi)
+    e_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    # p == 0: H is q*I — all eigenvalues equal q
+    e_max = jnp.where(p2 > 0.0, e_max, q)
+    e_min = jnp.where(p2 > 0.0, e_min, q)
+    return e_min, jnp.maximum(jnp.abs(e_min), jnp.abs(e_max))
+
+
+def _solve3(A, b):
+    """x = A^-1 b for 3x3 via the adjugate (Cramer) — branch-free VPU
+    ops instead of the LU path, fusing with the Newton body."""
+    c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
+    c01 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]
+    c02 = A[1, 0] * A[2, 1] - A[1, 1] * A[2, 0]
+    det = A[0, 0] * c00 + A[0, 1] * c01 + A[0, 2] * c02
+    c10 = A[0, 2] * A[2, 1] - A[0, 1] * A[2, 2]
+    c11 = A[0, 0] * A[2, 2] - A[0, 2] * A[2, 0]
+    c12 = A[0, 1] * A[2, 0] - A[0, 0] * A[2, 1]
+    c20 = A[0, 1] * A[1, 2] - A[0, 2] * A[1, 1]
+    c21 = A[0, 2] * A[1, 0] - A[0, 0] * A[1, 2]
+    c22 = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    adjT = jnp.stack([
+        jnp.stack([c00, c10, c20]),
+        jnp.stack([c01, c11, c21]),
+        jnp.stack([c02, c12, c22]),
+    ])
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    return inv_det * (adjT @ b)
+
+
 class NDTResult(NamedTuple):
     pose_rad: jnp.ndarray   # [3] converged pose (tx, ty, th_rad)
     iterations: jnp.ndarray  # int32
@@ -115,18 +166,20 @@ def align(
 
         # Levenberg ridge: make H positive definite AND well-conditioned
         # in float32 (a bare -lambda_min shift is singular at f32 and
-        # jnp.linalg.solve returns non-finite). Far from the optimum the
-        # step norm is clamped anyway, so the extra damping only rotates
-        # the direction toward the gradient.
-        evals = jnp.linalg.eigvalsh(H)
-        abs_max = jnp.maximum(jnp.max(jnp.abs(evals)), 1e-6)
+        # the solve returns non-finite). Far from the optimum the step
+        # norm is clamped anyway, so the extra damping only rotates the
+        # direction toward the gradient. Closed-form 3x3 bounds + Cramer
+        # solve keep the whole body VPU-fused (no iterative eigensolver
+        # serializing the Newton loop — see _sym3_eig_bounds).
+        e_min, e_absmax = _sym3_eig_bounds(H)
+        abs_max = jnp.maximum(e_absmax, 1e-6)
         lam = jnp.where(
-            evals[0] < 1e-3 * abs_max,
-            -jnp.minimum(evals[0], 0.0) + 1e-2 * abs_max,
+            e_min < 1e-3 * abs_max,
+            -jnp.minimum(e_min, 0.0) + 1e-2 * abs_max,
             0.0,
         )
         Hp = H + lam * jnp.eye(3, dtype=H.dtype)
-        step = -jnp.linalg.solve(Hp, g)
+        step = -_solve3(Hp, g)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
 
         def clamp(v):

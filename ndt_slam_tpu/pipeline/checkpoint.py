@@ -111,6 +111,10 @@ def save_checkpoint(fe: FrontEnd, path: str) -> None:
             "n_loop_edges": len(be.loop_edges),
             "loops_accepted": be.loops_accepted,
             "kf_sids": be.keyframes.sids,
+            "kf_pos_var": be.keyframes.pos_var,
+            "cum_pos_var": be._cum_pos_var,
+            "pending_edges": be._pending_edges,
+            "last_opt_node": be._last_opt_node,
         }
         arrays["be_node_poses"] = (
             np.stack(be.node_poses_rad) if be.node_poses_rad
@@ -237,6 +241,11 @@ def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None,
             p.astype(np.float32) for p in np.asarray(data["be_node_poses"])
         ]
         be.loops_accepted = int(bm["loops_accepted"])
+        # drift accumulator + deferred-optimization state (must resume
+        # exactly or the candidate radius / correction cadence change)
+        be._cum_pos_var = float(bm.get("cum_pos_var", 0.0))
+        be._pending_edges = int(bm.get("pending_edges", 0))
+        be._last_opt_node = int(bm.get("last_opt_node", -(10 ** 9)))
         be.odom_edges = [
             (row[:3].astype(np.float32),
              row[3:12].reshape(3, 3).astype(np.float32))
@@ -250,6 +259,8 @@ def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None,
         ]
         kf = be.keyframes
         kf.sids = [int(s) for s in bm["kf_sids"]]
+        kf.pos_var = [float(v) for v in bm.get(
+            "kf_pos_var", [0.0] * len(kf.sids))]
         if kf.sids:
             kf.poses_deg = [p for p in np.asarray(data["kf_poses"])]
             kf.scan_xy = [x for x in np.asarray(data["kf_scan_xy"])]
