@@ -126,13 +126,16 @@ def _rebuild_submap_fused(
     *, remove_moving: bool, is_first: bool, cap_sub: int,
     resol: float, thre: float, leaf: float, do_close: bool,
 ):
-    """Replay a whole submap's add_scan sequence in ONE device program
-    (lax.scan over scans) — the incremental remake path dispatches once
-    per rebuilt submap instead of ~3x per scan, which over a remote-TPU
-    tunnel is the difference between map rewrites costing less than
-    registration and costing 3x more (VERDICT r2 next-round #2).
+    """Replay a whole submap's add_scan sequence in ONE device program —
+    the incremental remake path dispatches once per rebuilt submap
+    instead of ~3x per scan, which over a remote-TPU tunnel is the
+    difference between map rewrites costing less than registration and
+    costing 3x more (VERDICT r2 next-round #2). The interior
+    dynamic-removal pass depends only on its own 3-scan window, so all
+    windows run as ONE vmap and the buffer fills with a single
+    flatten+compact append (no sequential carry, no per-step sorts).
     Branch semantics mirror Submap.step_flags()/add_scan exactly
-    (parity: tests/unit/test_mapping.py::test_fused_rebuild_matches_loop).
+    (parity: tests/unit/test_mapping.py remake tests vs forward maps).
 
     Returns (proc_xy, proc_mask, proc_count, proj_xy, proj_mask,
     closed_xy, closed_mask); closed_* is the voxel-filtered final cloud
@@ -145,13 +148,6 @@ def _rebuild_submap_fused(
     proj_mask = scans_mask & active[:, None]
     proj = jnp.where(proj_mask[:, :, None], proj, PAD_COORD)
 
-    dummy_xy = jnp.full_like(proj[:1], PAD_COORD)
-    dummy_m = jnp.zeros_like(proj_mask[:1])
-    prev1 = jnp.concatenate([dummy_xy, proj[:-1]])
-    prev1_m = jnp.concatenate([dummy_m, proj_mask[:-1]])
-    prev2 = jnp.concatenate([dummy_xy, dummy_xy, proj[:-2]])
-    prev2_m = jnp.concatenate([dummy_m, dummy_m, proj_mask[:-2]])
-
     idx = jnp.arange(n)
     if remove_moving:
         append_f = active & (idx == 0) if is_first else jnp.zeros(n, bool)
@@ -160,28 +156,35 @@ def _rebuild_submap_fused(
         append_f = active & (jnp.ones(n, bool) if is_first else ~carried)
         interior_f = jnp.zeros(n, bool)
 
-    def step(carry, x):
-        proc, count = carry
-        cur, m_cur, p1, m_p1, p2, m_p2, apf, inf = x
-        proc, count = _append(
-            proc, count, PointBuffer(cur, m_cur & apf)
+    if remove_moving:
+        dummy_xy = jnp.full_like(proj[:1], PAD_COORD)
+        dummy_m = jnp.zeros_like(proj_mask[:1])
+        prev1 = jnp.concatenate([dummy_xy, proj[:-1]])
+        prev1_m = jnp.concatenate([dummy_m, proj_mask[:-1]])
+        prev2 = jnp.concatenate([dummy_xy, dummy_xy, proj[:-2]])
+        prev2_m = jnp.concatenate([dummy_m, dummy_m, proj_mask[:-2]])
+        processed = jax.vmap(
+            lambda p2, m2, p1, m1, c, mc: process_interior_scan(
+                PointBuffer(p2, m2), PointBuffer(p1, m1),
+                PointBuffer(c, mc), resol, thre,
+            )
+        )(prev2, prev2_m, prev1, prev1_m, proj, proj_mask)
+        # interleave (append_i, interior_i) rows to preserve the exact
+        # forward add_scan ordering in the buffer
+        all_xy = jnp.stack([proj, processed.xy], axis=1)
+        all_mask = jnp.stack(
+            [proj_mask & append_f[:, None],
+             processed.mask & interior_f[:, None]],
+            axis=1,
         )
-        if remove_moving:
-            processed = process_interior_scan(
-                PointBuffer(p2, m_p2), PointBuffer(p1, m_p1),
-                PointBuffer(cur, m_cur), resol, thre,
-            )
-            proc, count = _append(
-                proc, count,
-                PointBuffer(processed.xy, processed.mask & inf),
-            )
-        return (proc, count), None
-
-    (proc, count), _ = jax.lax.scan(
-        step,
-        (PointBuffer.empty(cap_sub), jnp.int32(0)),
-        (proj, proj_mask, prev1, prev1_m, prev2, prev2_m,
-         append_f, interior_f),
+    else:
+        all_xy = proj[:, None]
+        all_mask = (proj_mask & append_f[:, None])[:, None]
+    flat = PointBuffer(
+        all_xy.reshape(-1, 2), all_mask.reshape(-1)
+    )
+    proc, count = _append(
+        PointBuffer.empty(cap_sub), jnp.int32(0), flat
     )
 
     if do_close:
@@ -445,8 +448,6 @@ class PointCloudMap:
         every add_scan branch (first-scan-raw, carry-over, interior
         dynamic removal) exactly as the forward pass ran it — as ONE
         fused device program (_rebuild_submap_fused)."""
-        from ndt_slam_tpu.core.points import pad_points
-
         cfg = self.cfg
         end = len(new_poses) if is_open else sm.cnt_e + 1
         lo = max(0, sm.cnt_s - 2) if sm.cnt_s > 0 else 0
@@ -456,13 +457,18 @@ class PointCloudMap:
         while n_pad < n:
             n_pad *= 2
         S = cfg.max_scan_points
+        # pure-host padding: a pad_points/np.asarray pair here would
+        # cost TWO device round trips per scan — ~2.6 s per rebuilt
+        # submap over a remote-TPU tunnel (measured; it was the entire
+        # 1752 s map-rewrite bill of the first full killian run)
         xs = np.full((n_pad, S, 2), np.float32(PAD_COORD), np.float32)
         ms = np.zeros((n_pad, S), bool)
         ps = np.zeros((n_pad, 3), np.float32)
         for t, f in enumerate(frames):
-            b = pad_points(self.local_scans[f], S)
-            xs[t] = np.asarray(b.xy)
-            ms[t] = np.asarray(b.mask)
+            a = np.asarray(self.local_scans[f], np.float32)
+            k = min(len(a), S)
+            xs[t, :k] = a[:k]
+            ms[t, :k] = True
             ps[t] = new_poses[f]
         active = np.zeros(n_pad, bool)
         active[:n] = True
