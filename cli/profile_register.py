@@ -38,13 +38,17 @@ def _room_scan(n, pose=(0.0, 0.0, 0.0), noise=0.01, seed=0):
     return np.stack([t * np.cos(angles), t * np.sin(angles)], 1).astype(np.float32)
 
 
-def _time(fn, *args, reps=30):
+def _time(fn, variants, reps=30):
+    """Time fn over a list of pre-staged argument tuples, cycling so no
+    two consecutive calls see identical inputs (the axon runtime
+    memoizes byte-identical executions — bench.py's odo-variation trick
+    generalized)."""
     import jax
-    jax.block_until_ready(fn(*args))
+    jax.block_until_ready([fn(*v) for v in variants[:2]])
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    assert len(variants) >= reps, (len(variants), reps)
+    outs = [fn(*variants[i]) for i in range(reps)]
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / reps
 
 
@@ -91,18 +95,29 @@ def main():
 
     reps = args.reps
     rows = []
+    V = reps  # every rep distinct: the axon runtime memoizes identical calls
+    shifts = np.linspace(0.0, 1e-3, V).astype(np.float32)
+    pose_vars = [put(np.array([s, s, s], np.float32)) for s in shifts]
+    scan_vars = [put(np.asarray(scan.xy) + s) for s in shifts]
+    center_vars = [put(np.array([s, s], np.float32)) for s in shifts]
+
+    # dispatch-overhead floor: a trivial jitted op, distinct inputs
+    triv = jax.jit(lambda x: x + 1.0)
+    t_disp = _time(triv, [(p,) for p in pose_vars], reps=reps)
+    rows.append(("(dispatch floor: trivial jit op)", t_disp, None))
 
     # full step
     def full(o):
         return _registration_step(cfg, scan_xy, scan_mask, o, zeros3,
                                   zeros3, cov0, local_xy, local_mask)
-    t_full = _time(full, odo, reps=reps)
+    t_full = _time(full, [(put(np.asarray(odo) + s),) for s in shifts],
+                   reps=reps)
     it = int(np.asarray(full(odo).iterations))
 
     # stage: source voxel filter
     vf = jax.jit(lambda xy, m: voxel_filter(PointBuffer(xy, m),
                                             cfg.source_leaf_size))
-    t_vox = _time(vf, scan_xy, scan_mask, reps=reps)
+    t_vox = _time(vf, [(x, scan_mask) for x in scan_vars], reps=reps)
     src = vf(scan_xy, scan_mask)
     n_src = int(np.asarray(src.count()))
 
@@ -110,12 +125,12 @@ def main():
     gb = jax.jit(lambda xy, m, c: build_grid(
         xy, m, c, cfg.grid_cells_x, cfg.grid_cells_y,
         cfg.ndt_resolution, min_pts=cfg.ndt_min_points_per_cell))
-    t_grid = _time(gb, local_xy, local_mask, put(np.zeros(2, np.float32)),
+    t_grid = _time(gb, [(local_xy, local_mask, c) for c in center_vars],
                    reps=reps)
-    grid = gb(local_xy, local_mask, put(np.zeros(2, np.float32)))
+    grids = [gb(local_xy, local_mask, c) for c in center_vars]
     cgf = jax.jit(lambda g: compact_grid(g, cfg.ndt_max_active_cells))
-    t_compact = _time(cgf, grid, reps=reps)
-    cg = cgf(grid)
+    t_compact = _time(cgf, [(g,) for g in grids], reps=reps)
+    cg = cgf(grids[0])
     k_valid = int(np.asarray(jnp.sum(cg.valid)))
 
     d1, d2 = gauss_constants(cfg.ndt_resolution, cfg.ndt_outlier_ratio)
@@ -123,13 +138,16 @@ def main():
     # stage: one fused sgh pass
     sgh = jax.jit(lambda p: ndt_score_grad_hess_pallas(
         p, src.xy, src.mask, cg, float(d1), float(d2), 1))
-    t_sgh = _time(sgh, put(np.zeros(3, np.float32)), reps=reps)
+    t_sgh = _time(sgh, [(p,) for p in pose_vars], reps=reps)
 
     # stage: one 12-candidate line-search score pass
-    cands = put(np.zeros((12, 3), np.float32))
     sc = jax.jit(lambda p: ndt_scores_pallas(
         p, src.xy, src.mask, cg, float(d1), float(d2), 1))
-    t_ls = _time(sc, cands, reps=reps)
+    t_ls = _time(
+        sc,
+        [(put(np.full((12, 3), s, np.float32)),) for s in shifts],
+        reps=reps,
+    )
 
     # stage: whole Newton solve
     al = jax.jit(lambda p: align(
@@ -137,12 +155,12 @@ def main():
         max_iterations=cfg.ndt_max_iterations,
         step_size=cfg.ndt_step_size, trans_eps=cfg.ndt_trans_eps,
         radius=1, use_pallas=True))
-    t_align = _time(al, put(np.zeros(3, np.float32)), reps=reps)
+    t_align = _time(al, [(p,) for p in pose_vars], reps=reps)
 
     # stage: fitness NN pass
     fit = jax.jit(lambda xy, m: fitness_score_pallas(
         xy, m, local_xy, local_mask))
-    t_fit = _time(fit, scan_xy, scan_mask, reps=reps)
+    t_fit = _time(fit, [(x, scan_mask) for x in scan_vars], reps=reps)
 
     N = src.xy.shape[0]           # padded pair-pass rows
     K = cfg.ndt_max_active_cells
