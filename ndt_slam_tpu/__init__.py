@@ -17,7 +17,40 @@ step; the map is a set of fixed-capacity device buffers; pairwise-distance
 work is phrased as matmuls so it lands on the MXU.
 """
 
-from ndt_slam_tpu.config import SlamConfig
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache, on by default.
+
+    Over the remote-TPU tunnel a cold compile of the frame step costs
+    tens of seconds to minutes PER PROCESS (measured: an 18 s compile
+    replays from cache in 0.3 s); every CLI/bench/test entry point
+    shares this cache so only the first-ever process pays. Opt out
+    with NDT_SLAM_TPU_NO_COMPILE_CACHE=1; JAX_COMPILATION_CACHE_DIR
+    overrides the location.
+    """
+    if _os.environ.get("NDT_SLAM_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return  # already configured (env or caller)
+    path = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/ndt_slam_tpu_jax"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # cache support is best-effort, never fatal
+        pass
+
+
+_enable_compile_cache()
+
+from ndt_slam_tpu.config import SlamConfig  # noqa: E402
 
 __version__ = "0.1.0"
 

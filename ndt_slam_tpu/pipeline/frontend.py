@@ -168,6 +168,14 @@ class FrontEnd:
         self.t_backend = 0.0
         self.t_remake = 0.0
         self.n_corrections = 0
+        # Lockstep batch mode: the batch runner defers each frame's
+        # device map update and executes ONE vmapped program for all
+        # sequences in the tick (batch_runner._flush_map_updates).
+        self._defer_map = False
+        self._pending_scan: Optional[PointBuffer] = None
+        # set by _apply_correction: the map was rebuilt in place, so
+        # any stack-resident copy of it (batch runner) is stale
+        self._map_rewritten = False
         self.backend = None
         if cfg.loop_enable:
             from ndt_slam_tpu.graph.backend import GraphBackend
@@ -288,11 +296,13 @@ class FrontEnd:
             local.xy, local.mask,
         )
 
-    def _frame_inputs(self, odo: np.ndarray):
+    def _frame_inputs(self, odo: np.ndarray, local_override=None):
         """Device-side inputs of the registration step (everything but
         the scan): (odo_dev, prev_odo_dev, last_pose_dev, local_map).
-        Shared by the sequential path and the lockstep batch runner."""
-        local = self.pcmap.registration_target()
+        Shared by the sequential path and the lockstep batch runner
+        (which passes its stack-resident target as `local_override`)."""
+        local = (local_override if local_override is not None
+                 else self.pcmap.registration_target())
         odo_dev = jnp.asarray(odo)
         prev_odo_dev = (
             self._prev_odo_dev if self._prev_odo_dev is not None
@@ -304,23 +314,38 @@ class FrontEnd:
         )
         return odo_dev, prev_odo_dev, last_pose_dev, local
 
-    def _finish_frame(self, out: FrameResult, host_vals, scan: PointBuffer,
-                      rs_local: np.ndarray, odo: np.ndarray, odo_dev,
-                      sid: int) -> dict:
-        """Post-registration bookkeeping: device carries, map growth,
-        metrics, loop-closure backend. `host_vals` is the fetched tuple
+    def _finish_frame(self, out: Optional[FrameResult], host_vals,
+                      scan: PointBuffer, rs_local: np.ndarray,
+                      odo: np.ndarray, odo_dev, sid: int,
+                      pending=None) -> dict:
+        """Post-registration bookkeeping: carries, map growth, metrics,
+        loop-closure backend. `host_vals` is the fetched tuple
         (fused, cov, cost, successful, est, iters, matched, err, tprob)
         — the batch runner fetches it for ALL sequences in one transfer
-        before calling this per sequence."""
+        before calling this per sequence.
+
+        Batch mode (`_defer_map`): every per-slot device op here would
+        cost ~1 ms of tunnel enqueue x 8 slots x N fields, so the
+        carries are kept HOST-side (rebuilt into [B,...] device inputs
+        once per tick by the runner), `out` may be None, and the
+        deferred map update is the runner-supplied `pending` sentinel
+        (resolved against the tick's stacked outputs in
+        batch_runner._flush_map_updates)."""
         cfg = self.cfg
         fused, cov, cost, successful, est, iters, matched, err, tprob = (
             host_vals
         )
-        self.last_cov = out.cov
-        self._last_pose_dev = out.fused_pose
-        self._prev_odo_dev = odo_dev
-        self._grow_map(PointBuffer(out.global_xy, scan.mask), fused,
-                       rs_local)
+        if self._defer_map:
+            self.last_cov = np.asarray(cov)
+            self._last_pose_dev = None
+            self._prev_odo_dev = None
+            gbuf = pending
+        else:
+            self.last_cov = out.cov
+            self._last_pose_dev = out.fused_pose
+            self._prev_odo_dev = odo_dev
+            gbuf = PointBuffer(out.global_xy, scan.mask)
+        self._grow_map(gbuf, fused, rs_local)
         self.prev_odo = odo
         self.cnt += 1
         rec = {
@@ -377,17 +402,27 @@ class FrontEnd:
             corrected_deg[i].astype(np.float32) for i in range(n)
         ]
         self.pcmap.remake_maps(corrected_deg)
-        # the device-resident carry is stale after a rewrite
+        # the device-resident carry is stale after a rewrite; a pending
+        # deferred map update is superseded (the rebuild replays every
+        # recorded scan, including this frame's)
         self._last_pose_dev = None
+        self._pending_scan = None
+        self._map_rewritten = True
 
     # reference: ScanMatcher::growMap (src/ScanMatcher.cpp:93-117)
     def _grow_map(self, scan_map_frame: PointBuffer, fused_pose, rs_local):
         self.pcmap.add_pose(fused_pose)
-        # make_target: one fused device program for the map update that
-        # also leaves the next frame's registration target cached —
-        # the sequential pipeline's dispatch count per frame drops from
-        # ~6 to 3 (registration, map step, metrics fetch).
-        self.pcmap.add_points(scan_map_frame, make_target=True)
+        if self._defer_map:
+            # batch mode: the runner executes all sequences' map
+            # updates as one vmapped program after the tick
+            self._pending_scan = scan_map_frame
+        else:
+            # make_target: one fused device program for the map update
+            # that also leaves the next frame's registration target
+            # cached — the sequential pipeline's dispatch count per
+            # frame drops from ~6 to 3 (registration, map step,
+            # metrics fetch).
+            self.pcmap.add_points(scan_map_frame, make_target=True)
         self.pcmap.set_last_pose(fused_pose)
         self.pcmap.set_last_scan(scan_map_frame)
         self.pcmap.record_local_scan(rs_local)

@@ -165,16 +165,21 @@ def test_two_process_sequential_loop(tmp_path):
     )
     frames = simulate_sequence(n_frames=10, beams=181, seed=3)
 
+    def _traj_close(a, b, pos_tol, ang_tol):
+        # positions in metres, headings in degrees: different scales,
+        # and f32 reduction-order chaos shows up in late-frame headings
+        np.testing.assert_allclose(a[:, :2], b[:, :2], atol=pos_tol)
+        d = np.abs((a[:, 2] - b[:, 2] + 180.0) % 360.0 - 180.0)
+        assert d.max() <= ang_tol, d.max()
+
     # single-process run of the SAME sharded program (8 local devices)
     from ndt_slam_tpu.pipeline.dist_runner import run_slam_distributed
     if len(jax.devices()) >= 8:
         fe_1p = run_slam_distributed(frames, cfg)
-        np.testing.assert_allclose(
-            data["poses"], fe_1p.get_poses(), atol=0.05)
+        _traj_close(data["poses"], fe_1p.get_poses(), 0.05, 0.3)
 
     # plain single-device frontend: loose agreement (iteration chaos)
     fe_ref = FrontEnd(cfg)
     for fr in frames:
         fe_ref.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
-    np.testing.assert_allclose(data["poses"], fe_ref.get_poses(),
-                               atol=0.3)
+    _traj_close(data["poses"], fe_ref.get_poses(), 0.1, 0.5)
