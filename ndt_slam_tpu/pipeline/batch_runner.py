@@ -20,7 +20,7 @@ inside the frame, throughput parallelism from the sequence batch.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import List, Optional, Sequence
 
 import numpy as np

@@ -31,9 +31,7 @@ import jax.numpy as jnp
 
 from ndt_slam_tpu.config import SlamConfig
 from ndt_slam_tpu.core import pose2
-from ndt_slam_tpu.core.angles import sub_deg
 from ndt_slam_tpu.core.points import PointBuffer, PAD_COORD, pad_points
-from ndt_slam_tpu.pre import resample_points_np
 from ndt_slam_tpu.mapping.voxel import voxel_filter
 from ndt_slam_tpu.mapping.pointcloud_map import PointCloudMap
 from ndt_slam_tpu.ndt.compact import compact_grid
