@@ -116,6 +116,11 @@ class SlamConfig:
     loop_match_dist: float = 0.4       # NN match cutoff for overlap/trim [m]
     loop_min_overlap: float = 0.55     # min matched-source fraction to accept
     loop_stage_mults: tuple = (4, 2, 1)  # coarse-to-fine resolution ladder
+    # Multi-start at the coarse ladder stage: a plus-pattern of
+    # half-coarse-cell-offset starts scored in one vmapped pass — the
+    # coarse grid's quantized landscape has local minima ~half a cell
+    # out that a single start falls into (1 disables; max 9).
+    loop_coarse_starts: int = 5
     loop_max_candidates: int = 4       # verified per frame (batched)
     # Noise floor for loop-edge information calibration: the strongest
     # Hessian direction carries 1/sigma^2 with sigma = max(sqrt(verify

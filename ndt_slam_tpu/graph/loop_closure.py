@@ -23,6 +23,7 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ndt_slam_tpu.config import SlamConfig
@@ -59,7 +60,7 @@ def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
     # fails (fine NDT cells from cm-noise scans are sharp).
     pose = init_rel_rad
     rf = None
-    for mult in cfg.loop_stage_mults:
+    for si, mult in enumerate(cfg.loop_stage_mults):
         nxs, nys = max(16, nx // mult), max(16, ny // mult)
         gs = build_grid(
             tgt_xy, tgt_mask, center, nxs, nys, res * mult,
@@ -68,14 +69,42 @@ def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
         if cfg.resolved_ndt_engine in ("compact", "pallas"):
             gs = compact_grid(gs, cfg.ndt_max_active_cells)
         d1s, d2s = gauss_constants(res * mult, cfg.ndt_outlier_ratio)
-        rf = align(
-            pose, src_xy, src_mask, gs, d1s, d2s,
-            max_iterations=cfg.ndt_max_iterations,
-            step_size=cfg.ndt_step_size * mult,
-            trans_eps=cfg.ndt_trans_eps * min(mult, 2),
-            radius=cfg.ndt_neighborhood,
-            use_pallas=cfg.resolved_ndt_engine == "pallas",
-        )
+
+        def run_align(p, _gs=gs, _d1=d1s, _d2=d2s, _mult=mult):
+            return align(
+                p, src_xy, src_mask, _gs, _d1, _d2,
+                max_iterations=cfg.ndt_max_iterations,
+                step_size=cfg.ndt_step_size * _mult,
+                trans_eps=cfg.ndt_trans_eps * min(_mult, 2),
+                radius=cfg.ndt_neighborhood,
+                use_pallas=cfg.resolved_ndt_engine == "pallas",
+            )
+
+        if si == 0 and cfg.loop_coarse_starts > 1:
+            # MULTI-START at the coarse stage: the coarse grid's
+            # cell-quantized landscape develops local minima roughly
+            # half a cell from the optimum (measured: verifications
+            # stalled at 0.6-1.2 m initial offsets with 1.2 m coarse
+            # cells, retaining their full initial error while passing
+            # the cost gate). A plus-pattern of half-cell-offset
+            # starts, all scored in one vmapped pass, picks the basin
+            # the single start misses.
+            h = res * mult * 0.5
+            offs = np.array(
+                [[0.0, 0.0, 0.0], [h, 0.0, 0.0], [-h, 0.0, 0.0],
+                 [0.0, h, 0.0], [0.0, -h, 0.0],
+                 [h, h, 0.0], [-h, -h, 0.0], [h, -h, 0.0],
+                 [-h, h, 0.0]][: cfg.loop_coarse_starts],
+                np.float32,
+            )
+            starts = pose[None, :] + jnp.asarray(offs)
+            rs = jax.vmap(run_align)(starts)
+            # lower objective = better match; unusable starts ranked last
+            score = jnp.where(rs.converged, rs.objective, jnp.inf)
+            best = jnp.argmin(score)
+            rf = jax.tree.map(lambda a: a[best], rs)
+        else:
+            rf = run_align(pose)
         pose = rf.pose_rad
 
     # Precision finisher: trimmed point-to-point ICP (ndt/icp.py). The

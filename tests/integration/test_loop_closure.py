@@ -216,3 +216,46 @@ def test_drift_aware_radius_closes_far_loop():
     ate_aware = ate_rmse(fe_aware.get_poses(), true, align=False)
     ate_static = ate_rmse(fe_static.get_poses(), true, align=False)
     assert ate_aware <= ate_static * 1.05, (ate_aware, ate_static)
+
+
+def test_coarse_multistart_recovers_half_cell_offsets():
+    """Initial errors near half a COARSE cell (0.6 m at the 1.2 m
+    coarse resolution) land in quantization local minima that a single
+    start cannot leave (observed: verification kept its full initial
+    error while passing the cost gate). The coarse multi-start
+    (cfg.loop_coarse_starts) must recover them; with it disabled the
+    stall is reproducible."""
+    import jax.numpy as jnp
+
+    frames = simulate_sequence(n_frames=2, beams=541, seed=3,
+                               noise_range=0.01)
+    f = frames[0]
+    tgt = pad_points(f.scan_xy, 1024)
+    src = pad_points(f.scan_xy, 1024)  # true rel pose = 0
+    B = 4
+    init = np.array([
+        [0.62, 0.0, 0.0], [0.0, -0.66, 0.05],
+        [0.58, 0.63, -0.04], [-0.61, 0.7, 0.02],
+    ], np.float32)
+
+    cfg_on = _loop_cfg()
+    out = verify_candidates(
+        cfg_on, src.xy, src.mask,
+        jnp.broadcast_to(tgt.xy, (B,) + tgt.xy.shape),
+        jnp.broadcast_to(tgt.mask, (B,) + tgt.mask.shape),
+        jnp.asarray(init),
+    )
+    acc = np.asarray(out.accepted)
+    rel = np.asarray(out.rel_pose_rad)
+    assert acc.all(), (acc, rel)
+    assert np.abs(rel[:, :2]).max() < 0.05, rel
+
+    cfg_off = _loop_cfg(loop_coarse_starts=1)
+    out0 = verify_candidates(
+        cfg_off, src.xy, src.mask,
+        jnp.broadcast_to(tgt.xy, (B,) + tgt.xy.shape),
+        jnp.broadcast_to(tgt.mask, (B,) + tgt.mask.shape),
+        jnp.asarray(init),
+    )
+    # single-start must do no better (the stall this feature fixes)
+    assert np.asarray(out0.accepted).sum() <= acc.sum()
