@@ -32,7 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ndt_slam_tpu.config import SlamConfig
 from ndt_slam_tpu.core import pose2
 from ndt_slam_tpu.core.points import PAD_COORD
-from ndt_slam_tpu.fuse.ekf import fuse_pose, gate_and_fuse, odometry_covariance
+from ndt_slam_tpu.fuse.ekf import gate_and_fuse
 from ndt_slam_tpu.ndt.fitness import fitness_score
 from ndt_slam_tpu.ndt.compact import compact_grid
 from ndt_slam_tpu.ndt.grid import grid_finalize, grid_moments, grid_origin
@@ -282,24 +282,14 @@ def make_sharded_frame_step(
             src_xy, src_mask, tgt_xy, tgt_mask, init_rad, pred_pose[:2],
         )
         est_pose = pose2.pose_rad_to_deg(r.pose_rad)
-        successful = r.cost <= cfg.score_thre
-
-        H = r.hessian
-        H = jnp.where(jnp.all(jnp.isfinite(H)), H, jnp.eye(3, dtype=H.dtype))
-        evals, evecs = jnp.linalg.eigh(H)
-        inv_e = cfg.coe_ndt_cov / jnp.clip(evals, 1e-3, None)
-        q_mat = (evecs * inv_e[None, :]) @ evecs.T
-
-        fused_k, cov_k = fuse_pose(
-            pred_pose, est_pose, odo_motion, last_pose, last_cov,
-            q_mat, cfg.del_time, cfg.coe_vel, cfg.coe_omega,
-        )
-        cov_odo = odometry_covariance(
+        # Production accept/fuse tail — the same gate_and_fuse the
+        # single-device step and the multi-host sequential step use, so
+        # the dryrun-validated numerics ARE the production numerics
+        # (reference accept/reject semantics: src/ScanMatcher.cpp:50-66).
+        fused, cov, successful = gate_and_fuse(
+            cfg, pred_pose, est_pose, r.hessian, r.cost,
             odo_motion, last_pose, last_cov,
-            cfg.del_time, cfg.coe_vel, cfg.coe_omega,
         )
-        fused = jnp.where(successful, fused_k, pred_pose)
-        cov = jnp.where(successful, cov_k, cov_odo)
         return FrameStepOut(
             est_pose=est_pose, fused_pose=fused, cov=cov,
             cost=r.cost, successful=successful, iterations=r.iterations,
