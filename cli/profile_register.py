@@ -44,9 +44,12 @@ def _time(fn, variants, reps=30):
     memoizes byte-identical executions — bench.py's odo-variation trick
     generalized)."""
     import jax
-    jax.block_until_ready([fn(*v) for v in variants[:2]])
+    # warm on inputs OUTSIDE the timed set: warming on variants[:2] and
+    # then timing variants[0..reps-1] would replay two byte-identical
+    # calls the axon runtime serves from its memo (ADVICE r3).
+    assert len(variants) >= reps + 2, (len(variants), reps)
+    jax.block_until_ready([fn(*v) for v in variants[reps:reps + 2]])
     t0 = time.perf_counter()
-    assert len(variants) >= reps, (len(variants), reps)
     outs = [fn(*variants[i]) for i in range(reps)]
     jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / reps
@@ -95,7 +98,9 @@ def main():
 
     reps = args.reps
     rows = []
-    V = reps  # every rep distinct: the axon runtime memoizes identical calls
+    # every rep distinct (the axon runtime memoizes identical calls);
+    # +2 extra variants feed _time's out-of-set warmup
+    V = reps + 2
     shifts = np.linspace(0.0, 1e-3, V).astype(np.float32)
     pose_vars = [put(np.array([s, s, s], np.float32)) for s in shifts]
     scan_vars = [put(np.asarray(scan.xy) + s) for s in shifts]

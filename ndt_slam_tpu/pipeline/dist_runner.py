@@ -59,8 +59,13 @@ class DistFrontEnd(FrontEnd):
     gloo test compares exactly these two modes.
     """
 
-    def __init__(self, cfg: SlamConfig, mesh: Optional[Mesh] = None):
-        super().__init__(cfg)
+    def __init__(self, cfg: SlamConfig, mesh: Optional[Mesh] = None,
+                 loop_mesh: Optional[Mesh] = None):
+        # loop_mesh shards the loop-closure verify ladder (GraphBackend);
+        # `mesh` shards the per-frame registration. They are distinct:
+        # the registration mesh is global ("pt" over all processes),
+        # while loop verification batches shard process-locally.
+        super().__init__(cfg, mesh=loop_mesh)
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), ("pt",))
         n = mesh.devices.size
@@ -98,6 +103,15 @@ class DistFrontEnd(FrontEnd):
         host = jax.device_get(out)  # replicated -> locally addressable
         fused = jnp.asarray(host.fused_pose)
         global_xy = _global_scan(fused, scan.xy, scan.mask)
+        packed = np.concatenate([
+            np.asarray(host.fused_pose, np.float32),
+            np.asarray(host.cov, np.float32).reshape(-1),
+            np.asarray([host.cost, float(bool(host.successful)),
+                        float(host.iterations), host.matched,
+                        host.trans_probability], np.float32),
+            np.asarray(host.est_pose, np.float32),
+            np.asarray(host.error_pose, np.float32),
+        ])
         return FrameResult(
             est_pose=jnp.asarray(host.est_pose),
             fused_pose=fused,
@@ -109,6 +123,7 @@ class DistFrontEnd(FrontEnd):
             global_xy=global_xy,
             error_pose=jnp.asarray(host.error_pose),
             trans_probability=jnp.asarray(host.trans_probability),
+            packed=jnp.asarray(packed),
         )
 
 
@@ -118,13 +133,14 @@ def run_slam_distributed(
     mesh: Optional[Mesh] = None,
     out_dir: Optional[str] = None,
     verbose: bool = False,
+    loop_mesh: Optional[Mesh] = None,
 ) -> FrontEnd:
     """Drive the sequential loop multi-host: only the COORDINATOR
     passes `frames` (every other process passes None and receives each
     frame via the per-frame broadcast). Returns the local DistFrontEnd
     (identical trajectory on every process; artifacts written only when
     `out_dir` is given — pass it on the coordinator only)."""
-    fe = DistFrontEnd(cfg, mesh=mesh)
+    fe = DistFrontEnd(cfg, mesh=mesh, loop_mesh=loop_mesh)
     if is_coordinator():
         assert frames is not None, "coordinator needs the frames"
         n_frames = min(len(frames), cfg.end_frame)
@@ -150,6 +166,11 @@ def run_slam_distributed(
         fe.process(scan, odo, sid=sid)
         if verbose and is_coordinator() and (t + 1) % 50 == 0:
             print(f"[dist_runner] frame {t + 1}/{n_frames}", flush=True)
+
+    # apply any deferred loop-closure correction the optimizer is still
+    # holding (same as runner.run_slam / BatchFrontEnd.finalize) —
+    # deterministic from replicated state, so every process stays in sync
+    fe.finalize()
 
     if out_dir is not None:
         import os
