@@ -187,16 +187,15 @@ class BatchFrontEnd:
             jnp.asarray(prev_np), jnp.asarray(last_np),
             jnp.asarray(cov_np), local_xy_b, local_mask_b,
         )
-        # ONE transfer for the whole batch's small outputs.
-        host = jax.device_get((
-            out.fused_pose, out.cov, out.cost, out.successful,
-            out.est_pose, out.iterations, out.matched,
-            out.error_pose, out.trans_probability,
-        ))
+        # ONE transfer for the whole batch's small outputs — the [B,23]
+        # packed rows the step emits (fetching 9 separate arrays costs
+        # 9x the tunnel marshaling).
+        from ndt_slam_tpu.pipeline.async_frontend import _unpack_row
+        rows = np.asarray(jax.device_get(out.packed))
         # the tick's map-frame scans, consumed wholesale by the flush
         self._tick_global = (out.global_xy, scan_mask_b, mask_np)
         for (i, sid, rs, odo) in compute:
-            host_i = tuple(h[i] for h in host)
+            host_i = _unpack_row(rows[i])
             scan_host = PointBuffer(scan_np[i], mask_np[i])
             recs[i] = fes[i]._finish_frame(
                 None, host_i, scan_host, rs, odo, None, sid,
@@ -245,8 +244,11 @@ class BatchFrontEnd:
         S, C = cfg.max_scan_points, cfg.max_submap_points
         P = C if flags["has_prev"] else 1
         L = cfg.max_local_map_points
+        from ndt_slam_tpu.core.points import PAD_COORD
+        # masked points sit at PAD_COORD (repo-wide invariant): the
+        # old -3.4e38 fill overflowed to inf when squared in f32
         empty = lambda n: PointBuffer(
-            jnp.full((B, n, 2), -3.4e38, jnp.float32),
+            jnp.full((B, n, 2), PAD_COORD, jnp.float32),
             jnp.zeros((B, n), bool),
         )
         self._stack = {
@@ -294,6 +296,11 @@ class BatchFrontEnd:
             else ([sl(st["raw_b"])] if cur.n_scans >= 1 else [])
         )
         fe.pcmap._cached_target = sl(st["target"])
+        # last_scan is checkpoint state (reference setLastScan parity);
+        # in defer mode _grow_map skipped it (sentinel), so restore the
+        # newest map-frame scan from the stacked raw tail here.
+        if cur.n_scans >= 1:
+            fe.pcmap.set_last_scan(sl(st["raw_b"]))
         st["valid"][i] = False
 
     def stacked_target(self, i):
@@ -425,7 +432,7 @@ def _result_spec_template():
     from ndt_slam_tpu.pipeline.frontend import FrameResult
 
     z = 0
-    return FrameResult(z, z, z, z, z, z, z, z, z, z)
+    return FrameResult(*([z] * len(FrameResult._fields)))
 
 
 def run_slam_batch(

@@ -36,6 +36,14 @@ def _buf_np(buf: Optional[PointBuffer]):
 
 def save_checkpoint(fe: FrontEnd, path: str) -> None:
     """Write the complete FrontEnd state to `path` (.npz)."""
+    if getattr(fe, "_queue", None):
+        # pipelined frontend with frames in flight: resolve them first
+        # so the snapshot is the canonical (host-synchronized) state
+        fe.drain()
+    if fe.backend is not None:
+        # async loop verification in flight would be lost across a
+        # resume — resolve it into edges first
+        fe.backend._resolve_verify()
     arrays = {}
     meta = {
         "cnt": fe.cnt,
@@ -183,7 +191,14 @@ def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None,
                 + " (pass strict=False to override)"
             )
 
-    fe = FrontEnd(cfg, mesh=mesh)
+    if cfg.resolved_pipeline_depth > 0:
+        # resume into the pipelined frontend so the run keeps its
+        # chunked host sync (state layout is identical: a drained
+        # PipelinedFrontEnd is a FrontEnd)
+        from ndt_slam_tpu.pipeline.async_frontend import PipelinedFrontEnd
+        fe = PipelinedFrontEnd(cfg, mesh=mesh)
+    else:
+        fe = FrontEnd(cfg, mesh=mesh)
     fe.cnt = int(meta["cnt"])
     fe.metrics = list(meta["metrics"])
     if meta["has_prev_odo"]:

@@ -55,6 +55,13 @@ class FrameResult(NamedTuple):
     trans_probability: jnp.ndarray  # score per source point (PCL
     # getTransformationProbability analog, logged by the reference at
     # src/PoseEstimator.cpp:48-49; our objective E = -score sum)
+    packed: jnp.ndarray       # [23] all small outputs in one array —
+    # the pipelined frontend fetches K frames' results by stacking K of
+    # these (K args) instead of K x 10 separate arrays (arg marshaling
+    # over a remote-TPU tunnel scales with arg count; measured: depth
+    # 32 resolves were 8x SLOWER than depth 8 before this field).
+    # Layout: fused(3) cov(9) cost successful iters matched tprob
+    # est(3) err(3) — see pipeline/async_frontend._unpack_row.
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -127,6 +134,19 @@ def _registration_step(
     n_src = jnp.sum(src.mask.astype(jnp.float32))
     trans_prob = -res.objective / jnp.maximum(n_src, 1.0)
 
+    packed = jnp.concatenate([
+        fused,
+        cov.reshape(-1),
+        jnp.stack([
+            cost,
+            accept.astype(jnp.float32),
+            res.iterations.astype(jnp.float32),
+            res.matched,
+            trans_prob,
+        ]),
+        est_pose,
+        error_pose,
+    ])
     return FrameResult(
         est_pose=est_pose,
         fused_pose=fused,
@@ -138,6 +158,7 @@ def _registration_step(
         global_xy=g,
         error_pose=error_pose,
         trans_probability=trans_prob,
+        packed=packed,
     )
 
 
@@ -422,7 +443,12 @@ class FrontEnd:
             # metrics fetch).
             self.pcmap.add_points(scan_map_frame, make_target=True)
         self.pcmap.set_last_pose(fused_pose)
-        self.pcmap.set_last_scan(scan_map_frame)
+        if isinstance(scan_map_frame, PointBuffer):
+            self.pcmap.set_last_scan(scan_map_frame)
+        # else: batch-mode ("slot", i) sentinel — the real map-frame
+        # buffer is restored by BatchFrontEnd._dump_slot (from the
+        # stacked raw tail) before any checkpoint/finalize consumer
+        # reads pcmap.last_scan.
         self.pcmap.record_local_scan(rs_local)
 
     def _record(self, fused, cov, rec):
