@@ -68,8 +68,19 @@ def read_tsukuba_log(path: str, sidelidar: bool = False) -> List[LogFrame]:
     return frames
 
 
-def write_tsukuba_log(path: str, frames, header: str = "ndt_slam_tpu synthetic log"):
-    """Write frames in the reference format (front block only)."""
+def write_tsukuba_log(path: str, frames,
+                      header: str = "ndt_slam_tpu synthetic log",
+                      side_split: float = 0.0):
+    """Write frames in the reference format.
+
+    side_split=0 puts every point in the front block (left/right
+    written empty). With side_split=s in (0, 0.5), the first and last
+    s-fractions of each scan go to the left/right blocks instead —
+    exercising the reference's always-consume/conditionally-keep
+    sidelidar quirk (src/SlamLauncher.cpp:68-90, SURVEY §6.3 item 10):
+    a sidelidar=False reader must parse past them and keep only the
+    front block.
+    """
     with open(path, "w") as f:
         for _ in range(4):
             f.write(header + "\n")
@@ -78,7 +89,13 @@ def write_tsukuba_log(path: str, frames, header: str = "ndt_slam_tpu synthetic l
             f.write(f"{fr.sid if hasattr(fr, 'sid') else fr.stamp} "
                     f"{p[0]} {p[1]} {p[2]} img.png\n")
             xy = fr.scan_xy
-            f.write(str(len(xy)) + " ")
-            f.write(" ".join(f"{a} {b}" for a, b in xy))
-            f.write(" 0 0 ")  # empty left/right blocks
+            k = int(round(side_split * len(xy))) if side_split else 0
+            left = xy[:k]
+            right = xy[len(xy) - k:] if k else xy[:0]
+            front = xy[k:len(xy) - k] if k else xy
+            for blk in (front, left, right):
+                f.write(str(len(blk)))
+                for a, b in blk:
+                    f.write(f" {a} {b}")
+                f.write(" ")
         f.write("\n")
