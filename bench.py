@@ -68,7 +68,11 @@ def _bench_pipeline(args) -> int:
         ndt_engine="gather" if args.cpu_baseline else "pallas",
         ndt_max_active_cells=1024,
     )
-    n_frames = args.reps or (30 if args.quick else 120)
+    if getattr(args, "pipeline_depth", None) is not None:
+        cfg = cfg.replace(pipeline_depth=args.pipeline_depth)
+    # multiples of the pipeline depth (8): a partial final chunk would
+    # compile an extra _pack_chunk variant inside the timed region
+    n_frames = args.reps or (32 if args.quick else 120)
     warm = 8
     if args.batch > 1:
         from ndt_slam_tpu.pipeline.batch_runner import BatchFrontEnd
@@ -99,14 +103,30 @@ def _bench_pipeline(args) -> int:
         frames = simulate_sequence(
             n_frames=n_frames + warm, beams=1081, seed=4
         )
-        fe = FrontEnd(cfg)
+        depth = cfg.resolved_pipeline_depth
+        if depth > 0 and not args.cpu_baseline:
+            # production sequential mode on TPU: chunked host sync
+            # (pipeline/async_frontend.py) — records resolve every
+            # `depth` frames; the drain is inside the timed region so
+            # the number is honest end-to-end throughput
+            from ndt_slam_tpu.pipeline.async_frontend import (
+                PipelinedFrontEnd,
+            )
+            fe = PipelinedFrontEnd(cfg)
+        else:
+            fe = FrontEnd(cfg)
         fe.warmup()  # all map-step variants (incl. post-submap-close)
         for fr in frames[:warm]:  # compile the registration step
             fe.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
+        if hasattr(fe, "drain"):
+            fe.drain()  # compile the chunk-resolve path too
         t0 = time.perf_counter()
         for fr in frames[warm:]:
             fe.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
+        if hasattr(fe, "drain"):
+            fe.drain()
         dt = time.perf_counter() - t0
+        assert len(fe.pose_history) == n_frames + warm
         scans_per_s = n_frames / dt
         metric = f"pipeline_scans_per_s_{platform}"
     print(json.dumps({
@@ -133,6 +153,8 @@ def main() -> int:
                     help="with --pipeline: run N sequences in lockstep "
                          "(aggregate scans/s)")
     ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--pipeline-depth", type=int, default=None,
+                    help="override cfg.pipeline_depth for --pipeline")
     ap.add_argument("--register-only", action="store_true",
                     help="only the registration-step line (skip the "
                          "pipeline/lockstep lines of the default mode)")

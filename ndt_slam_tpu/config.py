@@ -32,7 +32,11 @@ class SlamConfig:
     # ---- driver (reference: SlamLauncher.h:65-71) ----
     start_frame: int = 0
     end_frame: int = 690
-    keyframe_skip: int = 5          # rebuild global map every N frames
+    # Live-viz cadence (reference: rviz map publish every draw_skip
+    # frames, src/SlamLauncher.cpp:130-135): a bare `--viz-every` uses
+    # this as the PNG render period. The reference's keyframe_skip
+    # (global-map rebuild cadence) is consciously dropped — the global
+    # map is assembled on demand here (see ARCHITECTURE.md).
     draw_skip: int = 5
     sidelidar: bool = False         # include left/right LiDAR blocks
 
@@ -91,12 +95,19 @@ class SlamConfig:
 
     # ---- fixed capacities (TPU static shapes; not in reference) ----
     max_scan_points: int = 2048        # per scan, post-resample
-    max_submap_scans: int = 256        # scans per submap
     max_submap_points: int = 65536     # assembled submap cloud capacity
     max_local_map_points: int = 131072  # NDT target capacity (prev + cur submap)
     grid_cells_x: int = 192            # NDT grid extent (cells); window recenters
     grid_cells_y: int = 192            #   per frame on the predicted pose
-    voxel_hash_bits: int = 20          # capacity of voxel-filter output tables
+
+    # Sequential-pipeline host-sync depth: frames in flight before the
+    # host fetches their small outputs in one chunked transfer
+    # (pipeline/async_frontend.PipelinedFrontEnd). 0 = fully
+    # synchronous (one fetch round trip per frame); -1 = auto (8 on
+    # TPU, where the fetch RTT dominates the frame; 0 elsewhere).
+    # Trajectory is identical either way (speculation rolls back on
+    # submap closes / corrections).
+    pipeline_depth: int = -1
 
     # ---- numerics ----
     dtype: Any = dataclasses.field(default="float32")
@@ -129,6 +140,14 @@ class SlamConfig:
     loop_info_sigma_floor: float = 0.03
     loop_keyframe_skip: int = 5        # store a keyframe every N frames
     loop_check_skip: int = 5           # attempt detection every N frames
+    # Verification scheduling: 1 = dispatch the candidate batch and
+    # resolve its packed results at the NEXT backend check, so verify
+    # compute + fetch overlap with the frames in between (edges land
+    # one check cycle late — absorbed by the deferred optimizer);
+    # 0 = resolve within the same check (reference-eager). -1 = auto:
+    # async on TPU (where the fetch round trip dominates), sync
+    # elsewhere.
+    loop_verify_async: int = -1
     max_keyframes: int = 4096          # hard bound; store decimates at capacity
     # Incremental map rewrite after a pose-graph correction: a closed
     # submap is rebuilt only if a member pose moved more than this
@@ -163,6 +182,23 @@ class SlamConfig:
         return "pallas" if _default_platform() == "tpu" else "compact"
 
     @property
+    def resolved_pipeline_depth(self) -> int:
+        """The host-sync chunk depth actually used by the sequential
+        runner: "auto" (-1) resolves to 8 on TPU (the per-frame fetch
+        RTT is the dominant cost there) and 0 (synchronous) elsewhere."""
+        if self.pipeline_depth >= 0:
+            return self.pipeline_depth
+        return 8 if _default_platform() == "tpu" else 0
+
+    @property
+    def resolved_loop_verify_async(self) -> bool:
+        """Whether loop verification resolves one check cycle late
+        (see loop_verify_async)."""
+        if self.loop_verify_async >= 0:
+            return bool(self.loop_verify_async)
+        return _default_platform() == "tpu"
+
+    @property
     def grid_num_cells(self) -> int:
         return self.grid_cells_x * self.grid_cells_y
 
@@ -193,12 +229,10 @@ class SlamConfig:
     def small(cls, **kw) -> "SlamConfig":
         base = dict(
             max_scan_points=512,
-            max_submap_scans=64,
             max_submap_points=8192,
             max_local_map_points=16384,
             grid_cells_x=96,
             grid_cells_y=96,
-            voxel_hash_bits=14,
             max_keyframes=256,
         )
         base.update(kw)

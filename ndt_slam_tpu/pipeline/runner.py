@@ -45,6 +45,7 @@ def run_slam(
     already-processed prefix of `frames` is skipped, resuming exactly.
     With `profile_dir`, the run is wrapped in a `jax.profiler` trace.
     """
+    pipelined = cfg.resolved_pipeline_depth > 0
     resume_skip = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         from ndt_slam_tpu.pipeline.checkpoint import load_checkpoint
@@ -53,8 +54,12 @@ def run_slam(
         if verbose:
             print(f"[runner] resumed from {checkpoint_path} "
                   f"(frames processed: {resume_skip})")
+    elif pipelined:
+        from ndt_slam_tpu.pipeline.async_frontend import PipelinedFrontEnd
+        fe = PipelinedFrontEnd(cfg, mesh=mesh)
     else:
         fe = FrontEnd(cfg, mesh=mesh)
+    pipelined = pipelined and hasattr(fe, "drain")
     if checkpoint_path and checkpoint_every:
         from ndt_slam_tpu.pipeline.checkpoint import save_checkpoint
     profiling = False
@@ -65,6 +70,10 @@ def run_slam(
     # On resume, append: truncating would lose the pre-checkpoint
     # per-frame records even though fe.metrics was restored intact.
     jl = JsonlWriter(metrics_path, append=resume_skip > 0)
+    # viz_every < 0 = "reference cadence": render every cfg.draw_skip
+    # frames, the rviz map-publish period (src/SlamLauncher.cpp:130-135)
+    if viz_every < 0:
+        viz_every = max(1, cfg.draw_skip)
     t0 = time.perf_counter()
     n = 0
     try:
@@ -82,12 +91,22 @@ def run_slam(
             if n < resume_skip:
                 n += 1
                 continue
-            rec = fe.process(fr.scan_xy, fr.odo_pose, sid=sid)
-            rec["wall_s"] = time.perf_counter() - t0
-            jl.write(rec)
+            if pipelined:
+                # records resolve in chunks, up to `depth` frames late
+                for rec in fe.process(fr.scan_xy, fr.odo_pose, sid=sid):
+                    rec["wall_s"] = time.perf_counter() - t0
+                    jl.write(rec)
+            else:
+                rec = fe.process(fr.scan_xy, fr.odo_pose, sid=sid)
+                rec["wall_s"] = time.perf_counter() - t0
+                jl.write(rec)
             n += 1
             if checkpoint_path and checkpoint_every and checkpoint_save \
                     and n % checkpoint_every == 0:
+                if pipelined:  # checkpoint needs canonical host state
+                    for rec in fe.drain():
+                        rec["wall_s"] = time.perf_counter() - t0
+                        jl.write(rec)
                 save_checkpoint(fe, checkpoint_path)
             if viz_every and out_dir and n % viz_every == 0:
                 from ndt_slam_tpu.viz import render_frontend_png
@@ -95,9 +114,16 @@ def run_slam(
                 render_frontend_png(
                     os.path.join(out_dir, f"viz_{n:05d}.png"), fe
                 )
-            if verbose and cnt % 50 == 0:
+            if verbose and cnt % 50 == 0 and not pipelined:
                 print(f"[runner] frame {cnt} cost={rec.get('cost', 0):.4f} "
                       f"ok={rec.get('successful')}")
+            elif verbose and cnt % 50 == 0:
+                print(f"[runner] frame {cnt} (pipelined, "
+                      f"{len(fe.pose_history)} resolved)")
+        if pipelined:
+            for rec in fe.drain():
+                rec["wall_s"] = time.perf_counter() - t0
+                jl.write(rec)
     finally:
         if profiling:
             import jax
