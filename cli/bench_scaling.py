@@ -120,6 +120,50 @@ if workload == "verify":
         "sec_per_batch": dt, "pairs_per_sec": B / dt,
         "accepted": int(np.asarray(out.accepted).sum()),
     }))
+elif workload == "seqstep":
+    # ONE frame of the multi-host sequential loop (VERDICT r3 weak #6):
+    # make_sharded_sequential_step with source + target sharded over a
+    # pt axis of n_dev devices, production operating point (the
+    # dist_runner path). The sweep measures sharding overhead flatness
+    # as the mesh widens — psum'd grid moments, lockstep Newton,
+    # sharded fitness.
+    from jax.sharding import Mesh
+    from ndt_slam_tpu.parallel.register import make_sharded_sequential_step
+    CFG = SlamConfig(ndt_min_points_per_cell=3, ndt_max_active_cells=1024)
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("pt",))
+    fn = make_sharded_sequential_step(mesh, CFG)
+    S, L = CFG.max_scan_points, CFG.max_local_map_points
+    # ~16k-point local map target (registration scale of a submap pair)
+    parts = [room_scan(4321, pose=(0.2 * i, 0.1 * i, 0.05 * i),
+                       noise=0.01, seed=i) for i in range(4)]
+    tgt = pad_points(np.concatenate(parts, 0), L)
+    from ndt_slam_tpu.mapping.voxel import voxel_filter
+    raw = pad_points(room_scan(1081, pose=(0.05, 0.03, 0.02),
+                               noise=0.01, seed=9), S)
+    srcf = voxel_filter(raw, CFG.source_leaf_size)
+    cov0 = jnp.eye(3, dtype=jnp.float32) * 1e-4
+    zeros3 = jnp.zeros(3, jnp.float32)
+    rng = np.random.default_rng(0)
+    # fully random odometry per rep (axon memoization, see verify)
+    odos = [jnp.asarray(np.concatenate([
+        rng.uniform(-0.2, 0.2, 2), rng.uniform(-3.0, 3.0, 1),
+    ]).astype(np.float32)) for _ in range(reps)]
+    out = fn(srcf.xy, srcf.mask, odos[0], zeros3, zeros3, cov0,
+             tgt.xy, tgt.mask)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for odo in odos:
+        out = fn(srcf.xy, srcf.mask, odo, zeros3, zeros3, cov0,
+                 tgt.xy, tgt.mask)
+        jax.block_until_ready(out)
+        _ = float(np.asarray(out.cost))  # force value readback
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "devices": n_dev, "platform": platform, "batch": 1,
+        "workload": "seqstep",
+        "sec_per_batch": dt, "pairs_per_sec": 1.0 / dt,
+        "iterations": int(np.asarray(out.iterations)),
+    }))
 else:
     from ndt_slam_tpu.parallel import make_batch_register, make_mesh
     CFG = SlamConfig(grid_cells_x=64, grid_cells_y=64,
@@ -183,7 +227,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--devices", type=int, nargs="*",
                     default=[1, 2, 4, 8])
-    ap.add_argument("--workload", choices=["verify", "pairs"],
+    ap.add_argument("--workload", choices=["verify", "pairs", "seqstep"],
                     default="verify")
     ap.add_argument("--cpu-only", action="store_true",
                     help="skip the real-accelerator row")

@@ -51,9 +51,11 @@ def main():
     ap.add_argument("--viz", action="store_true",
                     help="render the final map + trajectory + loop "
                          "edges to <out>/map.png (the rviz analog)")
-    ap.add_argument("--viz-every", type=int, default=0,
+    ap.add_argument("--viz-every", type=int, nargs="?", const=-1,
+                    default=0,
                     help="additionally render <out>/viz_NNNNN.png "
-                         "every N frames")
+                         "every N frames; bare --viz-every uses the "
+                         "reference rviz cadence (cfg.draw_skip)")
     ap.add_argument("--cpu", action="store_true", help="force CPU JAX")
     ap.add_argument("--distributed", action="store_true",
                     help="initialize the multi-host jax.distributed "
@@ -169,6 +171,7 @@ def main():
             frames if coordinator else None, cfg,
             out_dir=args.out if coordinator else None,
             verbose=args.verbose and coordinator,
+            loop_mesh=mesh,  # process-local verify fan-out (--loop-shard)
         )
         if not coordinator:
             return
@@ -187,6 +190,8 @@ def main():
             json.dump(summary, f, indent=2)
         print(json.dumps(summary))
         return
+    import time as _time
+    _t_run0 = _time.perf_counter()
     fe = run_slam(
         frames, cfg,
         out_dir=args.out if coordinator else None,
@@ -207,6 +212,7 @@ def main():
 
     summary = {
         "frames": len(fe.pose_history),
+        "wall_s": round(_time.perf_counter() - _t_run0, 2),
         "accept_rate": float(np.mean([
             1.0 if m.get("successful") else 0.0 for m in fe.metrics
         ])) if fe.metrics else 0.0,
@@ -217,8 +223,16 @@ def main():
             "corrections": fe.n_corrections,
             "keyframes": len(fe.backend.keyframes),
             "t_backend_s": round(fe.t_backend, 2),
+            "t_verify_s": round(fe.backend.t_verify, 2),
+            "t_optimize_s": round(fe.backend.t_optimize, 2),
             "t_remake_s": round(fe.t_remake, 2),
             "remake_stats": fe.pcmap.remake_stats,
+        })
+    if hasattr(fe, "n_rollbacks"):  # pipelined sequential mode
+        summary.update({
+            "pipeline_depth": fe.depth,
+            "pipeline_rollbacks": fe.n_rollbacks,
+            "pipeline_replayed": fe.n_replayed,
         })
     if true_poses is not None and len(fe.pose_history):
         n = len(fe.pose_history)

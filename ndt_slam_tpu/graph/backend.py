@@ -107,6 +107,17 @@ class GraphBackend:
             # round the candidate batch up to the dp axis size
             self._batch_capacity = -(-cfg.loop_max_candidates // dp) * dp
             self._verify_sharded = make_sharded_verify(mesh, cfg)
+        # Async verification (cfg.loop_verify_async): a dispatched
+        # candidate batch is resolved at the NEXT backend check, so its
+        # device compute and result fetch overlap with the frames in
+        # between instead of blocking the frame path. In flight:
+        # (sid, cand list, packed device results).
+        self._inflight = None
+        # wall-time split of the backend bill (BASELINE.md accounting):
+        # t_verify = candidate verification (dispatch+fetch),
+        # t_optimize = pose-graph solves.
+        self.t_verify = 0.0
+        self.t_optimize = 0.0
 
     # ---- graph growth --------------------------------------------------
     def add_frame(
@@ -165,15 +176,23 @@ class GraphBackend:
         accepted edges accumulate and the optimize+remake runs at most
         once per that many frames — a burst of loops at a revisit costs
         one correction instead of one per accepted edge."""
+        import time as _time
+
         cfg = self.cfg
+        # resolve the previous check's in-flight verification first:
+        # its device compute has been overlapping with the frames since
+        t0 = _time.perf_counter()
+        self._resolve_verify()
         cand = self.keyframes.candidates(
             np.asarray(fused_pose_deg), sid,
             max_candidates=cfg.loop_max_candidates,
             cur_pos_var=self._cum_pos_var,
         )
         if cand:
-            self._verify_and_add_edges(sid, fused_pose_deg, scan_local,
-                                       cand)
+            self._dispatch_verify(sid, fused_pose_deg, scan_local, cand)
+            if not cfg.resolved_loop_verify_async:
+                self._resolve_verify()
+        self.t_verify += _time.perf_counter() - t0
         if self._pending_edges == 0:
             return None
         node_now = len(self.node_poses_rad) - 1
@@ -181,14 +200,21 @@ class GraphBackend:
             return None
         self._last_opt_node = node_now
         self._pending_edges = 0
-        return self.optimize_all()
+        t1 = _time.perf_counter()
+        out = self.optimize_all()
+        self.t_optimize += _time.perf_counter() - t1
+        return out
 
-    def _verify_and_add_edges(
+    def _dispatch_verify(
         self, sid: int, fused_pose_deg: np.ndarray,
         scan_local: PointBuffer, cand: List[int],
     ) -> None:
-        """Batched verification of candidate keyframes; accepted ones
-        become loop edges (pending until the next optimization)."""
+        """Dispatch the batched verification of candidate keyframes;
+        results are PACKED device-side into one [B,16] array and left
+        in flight (fetched by _resolve_verify — synchronously right
+        after, or one check cycle later in async mode)."""
+        from ndt_slam_tpu.graph.loop_closure import pack_verify_out
+
         cfg = self.cfg
         B = self._batch_capacity
         S = scan_local.xy.shape[0]
@@ -216,19 +242,34 @@ class GraphBackend:
                 jnp.asarray(tgt_xy), jnp.asarray(tgt_mask),
                 jnp.asarray(init),
             )
-        accepted = np.array(out.accepted, copy=True)
-        accepted[len(cand):] = False
-        if not accepted.any():
+        self._inflight = (sid, list(cand), pack_verify_out(out))
+
+    def _resolve_verify(self) -> None:
+        """Fetch an in-flight verification (ONE [B,16] transfer) and
+        add its accepted edges."""
+        if self._inflight is None:
             return
+        from ndt_slam_tpu.graph.loop_closure import unpack_verify_row
+
+        import jax
+
+        sid, cand, packed = self._inflight
+        self._inflight = None
+        rows = np.asarray(jax.device_get(packed))
 
         sid_rows = {s: i for i, s in enumerate(self.node_sids)}
-        cur_node = sid_rows[sid]
-        for b in np.nonzero(accepted)[0]:
+        cur_node = sid_rows.get(sid)
+        if cur_node is None:
+            return
+        for b in range(len(cand)):
+            (z_rad, cost_b, overlap_b, overlap_tgt_b, accepted_b,
+             H) = unpack_verify_row(rows[b])
+            if not accepted_b:
+                continue
             k = cand[b]
             old_node = sid_rows.get(self.keyframes.sids[k])
             if old_node is None:
                 continue
-            z_rad = np.asarray(out.rel_pose_rad[b], np.float32)
             # Degeneracy-aware, noise-calibrated edge information.
             # SHAPE comes from the fine-stage objective Hessian's
             # spectrum (the reference takes Q = (-H)^-1 * coe,
@@ -246,11 +287,11 @@ class GraphBackend:
             # residual: sigma = max(sqrt(icp mean-sq err),
             # loop_info_sigma_floor), conservative because per-point
             # errors are correlated (no sqrt-N bonus).
-            H = np.asarray(out.hessian[b], np.float64)
+            cfg = self.cfg
             w, V = np.linalg.eigh((H + H.T) / 2)
             w = np.clip(w, 0.0, None)
             wmax = max(float(w[-1]), 1e-9)
-            sigma = max(np.sqrt(max(float(out.cost[b]), 0.0)),
+            sigma = max(np.sqrt(max(cost_b, 0.0)),
                         cfg.loop_info_sigma_floor)
             omega = (V * (w * ((1.0 / sigma ** 2) / wmax))) @ V.T
             self.loop_edges.append(
@@ -259,9 +300,9 @@ class GraphBackend:
             self.edge_log.append({
                 "sid_old": int(self.keyframes.sids[k]), "sid_new": int(sid),
                 "z_rad": z_rad.tolist(),
-                "cost": float(out.cost[b]),
-                "overlap": float(out.overlap[b]),
-                "overlap_tgt": float(out.overlap_tgt[b]),
+                "cost": cost_b,
+                "overlap": overlap_b,
+                "overlap_tgt": overlap_tgt_b,
                 "eigs": np.linalg.eigvalsh(
                     (H + H.T) / 2).tolist(),
             })
@@ -270,12 +311,21 @@ class GraphBackend:
 
     def flush(self) -> Optional[np.ndarray]:
         """Apply deferred loop edges (end-of-run finalization when
-        cfg.loop_opt_min_frames postponed the last correction)."""
+        cfg.loop_opt_min_frames postponed the last correction); also
+        resolves any still-in-flight async verification first."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        self._resolve_verify()
+        self.t_verify += _time.perf_counter() - t0
         if self._pending_edges == 0:
             return None
         self._pending_edges = 0
         self._last_opt_node = len(self.node_poses_rad) - 1
-        return self.optimize_all()
+        t1 = _time.perf_counter()
+        out = self.optimize_all()
+        self.t_optimize += _time.perf_counter() - t1
+        return out
 
     # ---- optimization --------------------------------------------------
     def optimize_all(self) -> np.ndarray:

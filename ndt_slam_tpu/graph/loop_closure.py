@@ -145,6 +145,38 @@ def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
     )
 
 
+@jax.jit
+def pack_verify_out(out: LoopVerifyOut) -> jnp.ndarray:
+    """LoopVerifyOut -> ONE [B,16] f32 array so the backend fetches a
+    verification's results in a single device->host transfer. The old
+    per-field/per-edge np.asarray slicing cost ~5 round trips per
+    accepted edge over a remote-TPU tunnel — at killian scale (624
+    edges) that was most of the unattributed backend wall time
+    (VERDICT r3 missing #3). Layout (unpack_verify_row): rel(3) cost
+    overlap overlap_tgt accepted hessian(9)."""
+    return jnp.concatenate([
+        out.rel_pose_rad,
+        out.cost[:, None],
+        out.overlap[:, None],
+        out.overlap_tgt[:, None],
+        out.accepted.astype(jnp.float32)[:, None],
+        out.hessian.reshape(-1, 9),
+    ], axis=1)
+
+
+def unpack_verify_row(row: np.ndarray):
+    """[16] packed row -> (rel_pose_rad[3], cost, overlap, overlap_tgt,
+    accepted, hessian[3,3]) host values."""
+    return (
+        row[0:3].astype(np.float32),
+        float(row[3]),
+        float(row[4]),
+        float(row[5]),
+        bool(row[6] == 1.0),
+        row[7:16].reshape(3, 3).astype(np.float64),
+    )
+
+
 def make_sharded_verify(mesh, cfg: SlamConfig, axis_batch: str = "dp"):
     """Candidate verification with the batch sharded over `axis_batch`
     of `mesh` — the multi-chip loop-closure fan-out (SURVEY.md §2.3:

@@ -92,6 +92,31 @@ def test_loop_closure_reduces_drift():
     assert tail_on < tail_off, (tail_on, tail_off)
 
 
+def test_loop_closure_async_verify_matches_sync():
+    """Async verification (cfg.loop_verify_async=1, the TPU default:
+    a dispatched candidate batch resolves at the NEXT backend check)
+    must still close the loops and land within a hair of the sync
+    mode's ATE — the one-check-cycle edge delay is absorbed by the
+    optimizer."""
+    traj = _circle(90)
+    frames = simulate_sequence(
+        n_frames=90, beams=361, seed=7, trajectory=traj,
+        odo_noise_v=0.10, odo_noise_w=2.5,
+    )
+    true = np.asarray([f.true_pose for f in frames])
+
+    fe_sync = run_slam(frames, _loop_cfg(loop_verify_async=0))
+    fe_async = run_slam(frames, _loop_cfg(loop_verify_async=1))
+    assert fe_async.backend.loops_accepted >= 1
+    ate_sync = ate_rmse(fe_sync.get_poses(), true, align=False)
+    ate_async = ate_rmse(fe_async.get_poses(), true, align=False)
+    # both closed; async may differ slightly (edges land a check later)
+    assert ate_async < 1.5 * ate_sync + 0.05, (ate_async, ate_sync)
+    # the backend wall-time split is being recorded
+    assert fe_async.backend.t_verify >= 0.0
+    assert fe_async.backend.t_optimize > 0.0
+
+
 def _wall_scan(segs, n=541, noise=0.005, seed=0):
     """Raycast a scan of line-segment walls from the origin."""
     rng = np.random.default_rng(seed)
