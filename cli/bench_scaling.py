@@ -268,19 +268,34 @@ def main():
     with open(args.out_json, "w") as f:
         json.dump(report, f, indent=2)
 
-    what = ("verify_candidates (full ladder + ICP + symmetric gate, "
-            "production sizes)" if args.workload == "verify"
-            else "make_batch_register (light micro-workload)")
+    what = {
+        "verify": "verify_candidates (full ladder + ICP + symmetric "
+                  "gate, production sizes)",
+        "seqstep": "make_sharded_sequential_step (ONE frame of the "
+                   "multi-host sequential loop, pt-sharded source + "
+                   "target, production operating point)",
+        "pairs": "make_batch_register (light micro-workload)",
+    }[args.workload]
+    title = {
+        "verify": "# SCALING — loop-closure candidate verification",
+        "seqstep": "# SCALING — sequential frame step (pt-sharded)",
+        "pairs": "# SCALING — batch pair registration (micro)",
+    }[args.workload]
+    unit = ("frame steps/s" if args.workload == "seqstep"
+            else "candidates/s")
     lines = [
-        "# SCALING — loop-closure candidate verification",
+        title,
         "",
-        f"Workload: {what}, batch of {args.batch} candidates sharded",
-        "over the `dp` mesh axis (`graph/loop_closure.py`).",
+        (f"Workload: {what} — point buffers sharded over the `pt` axis "
+         "(`parallel/register.py`)."
+         if args.workload == "seqstep" else
+         f"Workload: {what}, batch of {args.batch} candidates sharded "
+         "over the `dp` mesh axis (`graph/loop_closure.py`)."),
         f"Host: {n_cores} physical cores; virtual CPU devices beyond that",
         "timeshare cores, so the virtual sweep measures sharding OVERHEAD",
         "(what must stay flat for real multi-chip scaling), not speedup.",
         "",
-        "| devices | platform | candidates/s | rel. throughput vs 1 dev |",
+        f"| devices | platform | {unit} | rel. throughput vs 1 dev |",
         "|---|---|---|---|",
     ]
     for r in rows:
