@@ -250,7 +250,10 @@ def _bench_register(args) -> int:
     # host->device dispatch round-trip per rep and measures the link,
     # not the chip (in the real pipeline frame t+1's inputs are on
     # device while frame t computes).
-    reps = args.reps or (10 if args.quick else 50)
+    # 100 reps: the queued-with-final-barrier measurement amortizes the
+    # tunnel round trip of the barrier over the rep count; at 50 reps
+    # day-to-day link variance dominated (measured 309-550/s same code)
+    reps = args.reps or (10 if args.quick else 100)
     shifts = np.linspace(0.0, 1e-3, reps).astype(np.float32)
     odos = [jax.device_put(np.asarray(odo) + s, dev) for s in shifts]
     jax.block_until_ready(odos)
