@@ -113,6 +113,7 @@ class GraphBackend:
         # between instead of blocking the frame path. In flight:
         # (sid, cand list, packed device results).
         self._inflight = None
+        self._dummy_scan = None  # masked filler rows for short batches
         # wall-time split of the backend bill (BASELINE.md accounting):
         # t_verify = candidate verification (dispatch+fetch),
         # t_optimize = pose-graph solves.
@@ -218,12 +219,8 @@ class GraphBackend:
         cfg = self.cfg
         B = self._batch_capacity
         S = scan_local.xy.shape[0]
-        tgt_xy = np.zeros((B, S, 2), np.float32)
-        tgt_mask = np.zeros((B, S), bool)
         init = np.zeros((B, 3), np.float32)
         for b, k in enumerate(cand):
-            tgt_xy[b] = self.keyframes.scan_xy[k][:S]
-            tgt_mask[b] = self.keyframes.scan_mask[k][:S]
             rel_deg = _cal_motion_np(
                 np.asarray(fused_pose_deg, np.float32),
                 self.keyframes.poses_deg[k],
@@ -231,15 +228,39 @@ class GraphBackend:
             init[b] = _pose_deg_to_rad(rel_deg)
 
         if self._verify_sharded is not None:
+            # sharded path: host-assembled candidate batch (uncommitted
+            # numpy shards cleanly over the mesh's dp axis)
+            tgt_xy = np.zeros((B, S, 2), np.float32)
+            tgt_mask = np.zeros((B, S), bool)
+            for b, k in enumerate(cand):
+                tgt_xy[b] = np.asarray(self.keyframes.scan_xy[k])[:S]
+                tgt_mask[b] = np.asarray(self.keyframes.scan_mask[k])[:S]
             out = self._verify_sharded(
                 scan_local.xy, scan_local.mask,
                 jnp.asarray(tgt_xy), jnp.asarray(tgt_mask),
                 jnp.asarray(init),
             )
         else:
+            # single-device path: candidate scans are stored as device
+            # references (keyframes.add), so the batch is ONE device-
+            # side stack — no host copies or uploads of scan data
+            if self._dummy_scan is None or \
+                    self._dummy_scan[0].shape[0] != S:
+                from ndt_slam_tpu.core.points import PAD_COORD
+                self._dummy_scan = (
+                    jnp.full((S, 2), PAD_COORD, jnp.float32),
+                    jnp.zeros((S,), bool),
+                )
+            dxy, dmask = self._dummy_scan
+            rows_xy = [jnp.asarray(self.keyframes.scan_xy[k])
+                       for k in cand]
+            rows_m = [jnp.asarray(self.keyframes.scan_mask[k])
+                      for k in cand]
+            rows_xy += [dxy] * (B - len(cand))
+            rows_m += [dmask] * (B - len(cand))
             out = verify_candidates(
                 cfg, scan_local.xy, scan_local.mask,
-                jnp.asarray(tgt_xy), jnp.asarray(tgt_mask),
+                jnp.stack(rows_xy), jnp.stack(rows_m),
                 jnp.asarray(init),
             )
         self._inflight = (sid, list(cand), pack_verify_out(out))

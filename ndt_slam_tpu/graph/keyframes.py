@@ -2,9 +2,11 @@
 
 The reference's LoopDetector/RefScanMaker are removed scaffolding
 (SURVEY.md §0); this is the TPU-era replacement. Scans are kept as
-fixed-shape padded buffers stacked host-side so any candidate subset
-can be shipped to the device as one batched array (the loop verifier
-is batched NDT registration — embarrassingly parallel).
+fixed-shape padded buffers, DEVICE-resident when they arrive on
+device, so a candidate subset becomes one batched verifier input via
+a device-side stack — no host round trips on the store or dispatch
+path (the loop verifier is batched NDT registration — embarrassingly
+parallel). Poses and metadata stay host-side for the candidate search.
 """
 
 from __future__ import annotations
@@ -22,8 +24,9 @@ class KeyframeStore:
         self.cfg = cfg
         self.sids: List[int] = []
         self.poses_deg: List[np.ndarray] = []   # fused pose at store time
-        self.scan_xy: List[np.ndarray] = []     # [S,2] local frame, padded
-        self.scan_mask: List[np.ndarray] = []   # [S]
+        # [S,2] local frame, padded; device OR host arrays (references)
+        self.scan_xy: List = []
+        self.scan_mask: List = []               # [S]
         self.pos_var: List[float] = []  # cumulative chain position var [m^2]
 
     def __len__(self) -> int:
@@ -33,13 +36,24 @@ class KeyframeStore:
             pos_var: float = 0.0):
         """`pos_var`: the backend's cumulative per-frame position
         variance (chain model) at store time — feeds the drift-aware
-        candidate radius (candidates())."""
+        candidate radius (candidates()).
+
+        The scan buffers are stored AS REFERENCES (device arrays stay
+        on device): the old np.asarray here forced two blocking
+        device->host transfers per stored keyframe, and the verifier
+        re-uploaded the same data on every candidate dispatch. The
+        verify path stacks candidate rows device-side instead
+        (GraphBackend._dispatch_verify); host copies happen only at
+        checkpoint time."""
         if len(self.sids) >= self.cfg.max_keyframes:
             self._decimate()
+        assert scan.xy.shape[0] == self.cfg.max_scan_points, (
+            scan.xy.shape, self.cfg.max_scan_points
+        )
         self.sids.append(int(sid))
         self.poses_deg.append(np.asarray(pose_deg, np.float32).copy())
-        self.scan_xy.append(np.asarray(scan.xy, np.float32))
-        self.scan_mask.append(np.asarray(scan.mask, bool))
+        self.scan_xy.append(scan.xy)
+        self.scan_mask.append(scan.mask)
         self.pos_var.append(float(pos_var))
 
     def _decimate(self):

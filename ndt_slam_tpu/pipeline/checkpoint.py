@@ -20,6 +20,7 @@ import os
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ndt_slam_tpu.config import SlamConfig
@@ -146,8 +147,12 @@ def save_checkpoint(fe: FrontEnd, path: str) -> None:
         kf = be.keyframes
         if kf.sids:
             arrays["kf_poses"] = np.stack(kf.poses_deg)
-            arrays["kf_scan_xy"] = np.stack(kf.scan_xy)
-            arrays["kf_scan_mask"] = np.stack(kf.scan_mask)
+            # scan rows may be device-resident (keyframes.add keeps
+            # references): ONE bulk transfer, not a fetch per row
+            arrays["kf_scan_xy"] = np.stack(jax.device_get(kf.scan_xy))
+            arrays["kf_scan_mask"] = np.stack(
+                jax.device_get(kf.scan_mask)
+            )
 
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, manifest=json.dumps(meta), **arrays)
