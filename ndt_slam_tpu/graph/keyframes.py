@@ -47,9 +47,11 @@ class KeyframeStore:
         checkpoint time."""
         if len(self.sids) >= self.cfg.max_keyframes:
             self._decimate()
-        assert scan.xy.shape[0] == self.cfg.max_scan_points, (
-            scan.xy.shape, self.cfg.max_scan_points
-        )
+        if self.scan_xy:
+            # the device-side batch stack requires uniform capacity
+            assert scan.xy.shape == self.scan_xy[0].shape, (
+                scan.xy.shape, self.scan_xy[0].shape
+            )
         self.sids.append(int(sid))
         self.poses_deg.append(np.asarray(pose_deg, np.float32).copy())
         self.scan_xy.append(scan.xy)
