@@ -126,6 +126,9 @@ class PipelinedFrontEnd(FrontEnd):
         self._fetching: Optional[tuple] = None
         self.n_rollbacks = 0
         self.n_replayed = 0
+        # early-flush heuristic state (see _flush_predicted)
+        self._travel_inflight = 0.0
+        self._last_odo_dispatched: Optional[np.ndarray] = None
 
     # ---- dispatch side -------------------------------------------------
 
@@ -138,7 +141,11 @@ class PipelinedFrontEnd(FrontEnd):
             return [{"sid": sid, "skipped": True}]
         if self.cnt == 0 and not self._queue:
             # bootstrap synchronously (reference: src/ScanMatcher.cpp:9-22)
-            return [super().process(scan_xy_local, odo_pose_deg, sid=sid)]
+            rec = super().process(scan_xy_local, odo_pose_deg, sid=sid)
+            self._last_odo_dispatched = np.asarray(
+                odo_pose_deg, dtype=np.float32
+            )
+            return [rec]
 
         from ndt_slam_tpu.io.native import resample_points
         rs = resample_points(
@@ -181,15 +188,54 @@ class PipelinedFrontEnd(FrontEnd):
         self._last_pose_dev = out.fused_pose
         self._prev_odo_dev = odo_dev
 
+        # in-flight travel estimate for the early-flush heuristic: the
+        # fused translation per frame tracks the odometry translation
+        # closely (scan matching corrects cm-scale), so resolved atd +
+        # odometry travel of the queued frames predicts the submap
+        # close to within the matching correction
+        if self._last_odo_dispatched is not None:
+            self._travel_inflight += float(np.hypot(
+                odo[0] - self._last_odo_dispatched[0],
+                odo[1] - self._last_odo_dispatched[1],
+            ))
+        self._last_odo_dispatched = odo
+
         self._queue.append(_InFlight(
             sid=sid, scan_raw=np.asarray(scan_xy_local), rs=rs, odo=odo,
             odo_dev=odo_dev, scan=scan, out=out, snapshot=snapshot,
             last_cov_before=last_cov_before,
         ))
-        if len(self._queue) >= self.depth:
+        if len(self._queue) >= self.depth or self._flush_predicted():
             self._begin_fetch()
             return self._complete_fetch()
         return []
+
+    def _flush_predicted(self) -> bool:
+        """Early-flush heuristics: resolve NOW when the just-dispatched
+        frame is likely to trigger host control that would invalidate
+        frames dispatched after it (a submap close or a pose-graph
+        correction) — the rollback then has no tail to replay. Purely
+        a scheduling hint: a wrong prediction costs one small fetch or
+        falls back to the normal rollback/replay, never correctness
+        (parity tests cover both)."""
+        cfg = self.cfg
+        cur = self.pcmap.submaps[-1]
+        # submap close: resolved atd + in-flight odometry travel
+        if (self.pcmap.atd + self._travel_inflight
+                >= cur.atd_s + cfg.submap_sep_thre):
+            return True
+        # deferred correction: this frame's node index hits a backend
+        # check with edges pending and the deferral window elapsed
+        # (edges still in async-verify flight are not counted — that
+        # rare case takes the normal rollback path)
+        be = self.backend
+        if be is not None and be._pending_edges > 0:
+            node_idx = self.cnt + len(self._queue) - 1
+            if (node_idx % max(1, cfg.loop_check_skip) == 0
+                    and node_idx - be._last_opt_node
+                    >= cfg.loop_opt_min_frames):
+                return True
+        return False
 
     def drain(self) -> List[dict]:
         """Resolve every in-flight frame (end of run, checkpoint, or
@@ -227,6 +273,8 @@ class PipelinedFrontEnd(FrontEnd):
         assert self._fetching is None
         entries = self._queue
         self._queue = []
+        # resolved atd will absorb these frames' travel
+        self._travel_inflight = 0.0
         packed = _pack_chunk([e.out.packed for e in entries])
         try:
             packed.copy_to_host_async()
