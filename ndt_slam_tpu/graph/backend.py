@@ -263,7 +263,14 @@ class GraphBackend:
                 jnp.stack(rows_xy), jnp.stack(rows_m),
                 jnp.asarray(init),
             )
-        self._inflight = (sid, list(cand), pack_verify_out(out))
+        packed = pack_verify_out(out)
+        try:
+            # start the D2H now; the blocking fetch happens a check
+            # cycle later, by when the transfer is (ideally) done
+            packed.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        self._inflight = (sid, list(cand), packed)
 
     def _resolve_verify(self) -> None:
         """Fetch an in-flight verification (ONE [B,16] transfer) and
