@@ -136,7 +136,7 @@ class SlamConfig:
     # Noise floor for loop-edge information calibration: the strongest
     # Hessian direction carries 1/sigma^2 with sigma = max(sqrt(verify
     # residual), this) [m]; weaker directions scale down with the
-    # spectrum (graph/backend._verify_and_add_edges).
+    # spectrum (graph/backend._resolve_verify).
     loop_info_sigma_floor: float = 0.03
     loop_keyframe_skip: int = 5        # store a keyframe every N frames
     loop_check_skip: int = 5           # attempt detection every N frames

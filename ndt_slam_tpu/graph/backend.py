@@ -114,6 +114,8 @@ class GraphBackend:
         # (sid, cand list, packed device results).
         self._inflight = None
         self._dummy_scan = None  # masked filler rows for short batches
+        # sharded-verify host copies of keyframe scans, keyed by sid
+        self._host_scan_cache: dict = {}
         # wall-time split of the backend bill (BASELINE.md accounting):
         # t_verify = candidate verification (dispatch+fetch),
         # t_optimize = pose-graph solves.
@@ -229,12 +231,20 @@ class GraphBackend:
 
         if self._verify_sharded is not None:
             # sharded path: host-assembled candidate batch (uncommitted
-            # numpy shards cleanly over the mesh's dp axis)
+            # numpy shards cleanly over the mesh's dp axis). Keyframe
+            # scans are device references now, so cache the host copy
+            # per SID — one transfer per keyframe ever, not per check.
             tgt_xy = np.zeros((B, S, 2), np.float32)
             tgt_mask = np.zeros((B, S), bool)
             for b, k in enumerate(cand):
-                tgt_xy[b] = np.asarray(self.keyframes.scan_xy[k])[:S]
-                tgt_mask[b] = np.asarray(self.keyframes.scan_mask[k])[:S]
+                s_k = self.keyframes.sids[k]
+                row = self._host_scan_cache.get(s_k)
+                if row is None:
+                    row = (np.asarray(self.keyframes.scan_xy[k]),
+                           np.asarray(self.keyframes.scan_mask[k]))
+                    self._host_scan_cache[s_k] = row
+                tgt_xy[b] = row[0][:S]
+                tgt_mask[b] = row[1][:S]
             out = self._verify_sharded(
                 scan_local.xy, scan_local.mask,
                 jnp.asarray(tgt_xy), jnp.asarray(tgt_mask),
@@ -270,7 +280,12 @@ class GraphBackend:
             packed.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
-        self._inflight = (sid, list(cand), packed)
+        # capture candidate SIDs, not store indices: in async mode a
+        # KeyframeStore._decimate between dispatch and resolve would
+        # invalidate the indices (crash, or worse, an edge silently
+        # attached to the wrong node)
+        cand_sids = [self.keyframes.sids[k] for k in cand]
+        self._inflight = (sid, cand_sids, packed)
 
     def _resolve_verify(self) -> None:
         """Fetch an in-flight verification (ONE [B,16] transfer) and
@@ -281,7 +296,7 @@ class GraphBackend:
 
         import jax
 
-        sid, cand, packed = self._inflight
+        sid, cand_sids, packed = self._inflight
         self._inflight = None
         rows = np.asarray(jax.device_get(packed))
 
@@ -289,13 +304,13 @@ class GraphBackend:
         cur_node = sid_rows.get(sid)
         if cur_node is None:
             return
-        for b in range(len(cand)):
+        for b in range(len(cand_sids)):
             (z_rad, cost_b, overlap_b, overlap_tgt_b, accepted_b,
              H) = unpack_verify_row(rows[b])
             if not accepted_b:
                 continue
-            k = cand[b]
-            old_node = sid_rows.get(self.keyframes.sids[k])
+            sid_old = cand_sids[b]
+            old_node = sid_rows.get(sid_old)
             if old_node is None:
                 continue
             # Degeneracy-aware, noise-calibrated edge information.
@@ -326,7 +341,7 @@ class GraphBackend:
                 (old_node, cur_node, z_rad, omega.astype(np.float32))
             )
             self.edge_log.append({
-                "sid_old": int(self.keyframes.sids[k]), "sid_new": int(sid),
+                "sid_old": int(sid_old), "sid_new": int(sid),
                 "z_rad": z_rad.tolist(),
                 "cost": cost_b,
                 "overlap": overlap_b,

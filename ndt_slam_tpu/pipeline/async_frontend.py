@@ -285,8 +285,6 @@ class PipelinedFrontEnd(FrontEnd):
     def _complete_fetch(self) -> List[dict]:
         if self._fetching is None:
             return []
-        import time as _time
-
         cfg = self.cfg
         entries, packed = self._fetching
         self._fetching = None
@@ -295,8 +293,8 @@ class PipelinedFrontEnd(FrontEnd):
         recs: List[dict] = []
         replay_from: Optional[int] = None
         for idx, e in enumerate(entries):
-            (fused, cov, cost, successful, est, iters, matched, err,
-             tprob) = _unpack_row(rows[idx])
+            host_vals = _unpack_row(rows[idx])
+            fused, cov = host_vals[0], host_vals[1]
 
             # host map bookkeeping, in the sync path's order:
             # add_pose (atd) -> submap-close check -> last pose/scan
@@ -324,34 +322,15 @@ class PipelinedFrontEnd(FrontEnd):
             self.pcmap.record_local_scan(e.rs)
             self.prev_odo = e.odo
             self.cnt += 1
-            rec = {
-                "sid": e.sid,
-                "cost": cost,
-                "successful": successful,
-                "est_pose": np.asarray(est).tolist(),
-                "fused_pose": np.asarray(fused).tolist(),
-                "iterations": iters,
-                "matched": matched,
-                "error_pose": np.asarray(err).tolist(),
-                "trans_probability": tprob,
-            }
+            # rec construction + backend step are the SAME code the
+            # sync path runs (FrontEnd._build_rec / _backend_hook) —
+            # the two paths cannot drift
+            rec = self._build_rec(e.sid, host_vals)
             self._record(fused, cov, rec)
             recs.append(rec)
-
-            corrected_here = False
-            if self.backend is not None:
-                self.backend.add_frame(e.sid, fused, cov, e.scan)
-                if (self.cnt - 1) % max(1, cfg.loop_check_skip) == 0:
-                    t0 = _time.perf_counter()
-                    corrected = self.backend.try_close(e.sid, fused, e.scan)
-                    self.t_backend += _time.perf_counter() - t0
-                    if corrected is not None:
-                        t1 = _time.perf_counter()
-                        self._apply_correction(corrected)
-                        self.t_remake += _time.perf_counter() - t1
-                        self.n_corrections += 1
-                        rec["loop_closed"] = True
-                        corrected_here = True
+            corrected_here = self._backend_hook(
+                e.sid, fused, cov, e.scan, rec
+            )
 
             if (closed or corrected_here) and (
                     idx + 1 < len(entries) or self._queue):

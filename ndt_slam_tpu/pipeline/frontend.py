@@ -367,7 +367,21 @@ class FrontEnd:
         self._grow_map(gbuf, fused, rs_local)
         self.prev_odo = odo
         self.cnt += 1
-        rec = {
+        rec = self._build_rec(sid, host_vals)
+        self._record(fused, cov, rec)
+        self._backend_hook(sid, fused, cov, scan, rec)
+        return rec
+
+    @staticmethod
+    def _build_rec(sid: int, host_vals) -> dict:
+        """Per-frame metrics record from the fetched small outputs —
+        shared by the synchronous path and the pipelined resolver
+        (async_frontend._complete_fetch) so the record schema cannot
+        drift between them."""
+        fused, cov, cost, successful, est, iters, matched, err, tprob = (
+            host_vals
+        )
+        return {
             "sid": sid,
             "cost": float(cost),
             "successful": bool(successful),
@@ -378,23 +392,30 @@ class FrontEnd:
             "error_pose": np.asarray(err).tolist(),
             "trans_probability": float(tprob),
         }
-        self._record(fused, cov, rec)
 
-        # ---- pose-graph backend (loop closure) -------------------------
-        if self.backend is not None:
-            import time as _time
-            self.backend.add_frame(sid, fused, cov, scan)
-            if (self.cnt - 1) % max(1, cfg.loop_check_skip) == 0:
-                t0 = _time.perf_counter()
-                corrected = self.backend.try_close(sid, fused, scan)
-                self.t_backend += _time.perf_counter() - t0
-                if corrected is not None:
-                    t1 = _time.perf_counter()
-                    self._apply_correction(corrected)
-                    self.t_remake += _time.perf_counter() - t1
-                    self.n_corrections += 1
-                    rec["loop_closed"] = True
-        return rec
+    def _backend_hook(self, sid: int, fused, cov, scan: PointBuffer,
+                      rec: dict) -> bool:
+        """Pose-graph backend step for one resolved frame: add_frame,
+        scheduled try_close, correction application + timing. Shared by
+        the synchronous path and the pipelined resolver. Returns True
+        when a correction rewrote the map (the pipelined resolver must
+        then replay its in-flight tail)."""
+        if self.backend is None:
+            return False
+        import time as _time
+        self.backend.add_frame(sid, fused, cov, scan)
+        if (self.cnt - 1) % max(1, self.cfg.loop_check_skip) == 0:
+            t0 = _time.perf_counter()
+            corrected = self.backend.try_close(sid, fused, scan)
+            self.t_backend += _time.perf_counter() - t0
+            if corrected is not None:
+                t1 = _time.perf_counter()
+                self._apply_correction(corrected)
+                self.t_remake += _time.perf_counter() - t1
+                self.n_corrections += 1
+                rec["loop_closed"] = True
+                return True
+        return False
 
     def finalize(self):
         """End-of-run hook: apply any loop-closure correction the

@@ -117,6 +117,34 @@ def test_loop_closure_async_verify_matches_sync():
     assert fe_async.backend.t_optimize > 0.0
 
 
+def test_async_verify_survives_keyframe_decimation():
+    """Regression (code-review r4): the async verify in-flight record
+    captured store INDICES; a KeyframeStore decimation between dispatch
+    and resolve then crashed (IndexError) or silently attached an edge
+    to the wrong node. Candidate SIDs are captured at dispatch now. A
+    tiny keyframe cap with per-frame stores forces several decimations
+    while verifications are in flight."""
+    traj = _circle(90)
+    frames = simulate_sequence(
+        n_frames=90, beams=361, seed=7, trajectory=traj,
+        odo_noise_v=0.10, odo_noise_w=2.5,
+    )
+    true = np.asarray([f.true_pose for f in frames])
+    cfg = _loop_cfg(loop_verify_async=1, max_keyframes=16,
+                    loop_keyframe_skip=1, loop_check_skip=2)
+    fe = run_slam(frames, cfg)
+    assert len(fe.backend.keyframes) <= 16  # decimation really fired
+    assert fe.backend.loops_accepted >= 1
+    node_sids = set(fe.backend.node_sids)
+    for e in fe.backend.edge_log:
+        assert e["sid_old"] in node_sids, e
+        assert e["sid_new"] in node_sids, e
+    ate = ate_rmse(fe.get_poses(), true, align=False)
+    odo = ate_rmse(np.asarray([f.odo_pose for f in frames]), true,
+                   align=False)
+    assert ate < odo, (ate, odo)
+
+
 def _wall_scan(segs, n=541, noise=0.005, seed=0):
     """Raycast a scan of line-segment walls from the origin."""
     rng = np.random.default_rng(seed)
