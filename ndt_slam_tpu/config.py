@@ -127,6 +127,11 @@ class SlamConfig:
     loop_match_dist: float = 0.4       # NN match cutoff for overlap/trim [m]
     loop_min_overlap: float = 0.55     # min matched-source fraction to accept
     loop_stage_mults: tuple = (4, 2, 1)  # coarse-to-fine resolution ladder
+    # Newton iteration cap per LADDER stage (0 = ndt_max_iterations).
+    # The ladder only needs basin capture — the trimmed-ICP finisher
+    # owns precision — so a lower cap trades verify device time
+    # against stage-handoff robustness.
+    loop_stage_max_iterations: int = 0
     # Multi-start at the coarse ladder stage: a plus-pattern of
     # half-coarse-cell-offset starts scored in one vmapped pass — the
     # coarse grid's quantized landscape has local minima ~half a cell

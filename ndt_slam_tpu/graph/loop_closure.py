@@ -73,7 +73,8 @@ def _verify_one(cfg: SlamConfig, src_xy, src_mask, tgt_xy, tgt_mask,
         def run_align(p, _gs=gs, _d1=d1s, _d2=d2s, _mult=mult):
             return align(
                 p, src_xy, src_mask, _gs, _d1, _d2,
-                max_iterations=cfg.ndt_max_iterations,
+                max_iterations=(cfg.loop_stage_max_iterations
+                                or cfg.ndt_max_iterations),
                 step_size=cfg.ndt_step_size * _mult,
                 trans_eps=cfg.ndt_trans_eps * min(_mult, 2),
                 radius=cfg.ndt_neighborhood,
