@@ -208,6 +208,31 @@ class GraphBackend:
         self.t_optimize += _time.perf_counter() - t1
         return out
 
+    def _evict_stale_scan_cache(self) -> None:
+        """Drop sharded-verify host copies of keyframes no longer in
+        the store (decimation) — unbounded growth otherwise, tens of
+        KB per keyframe ever stored on long runs."""
+        live = set(self.keyframes.sids)
+        if len(self._host_scan_cache) > len(live):
+            for s_k in list(self._host_scan_cache):
+                if s_k not in live:
+                    del self._host_scan_cache[s_k]
+
+    def correction_due(self, node_idx: int) -> bool:
+        """Would a frame landing at graph node `node_idx` trigger a
+        deferred correction at its backend check? THE interface for
+        schedulers predicting corrections ahead of resolution (the
+        pipelined frontend's early-flush heuristic) — it must agree
+        with try_close's own deferral condition, and a unit test pins
+        the two together (tests/unit/test_backend.py). Edges still in
+        async-verify flight are not counted: that rare case takes the
+        normal rollback path."""
+        if self._pending_edges <= 0:
+            return False
+        if node_idx % max(1, self.cfg.loop_check_skip) != 0:
+            return False
+        return node_idx - self._last_opt_node >= self.cfg.loop_opt_min_frames
+
     def _dispatch_verify(
         self, sid: int, fused_pose_deg: np.ndarray,
         scan_local: PointBuffer, cand: List[int],
@@ -234,6 +259,7 @@ class GraphBackend:
             # numpy shards cleanly over the mesh's dp axis). Keyframe
             # scans are device references now, so cache the host copy
             # per SID — one transfer per keyframe ever, not per check.
+            self._evict_stale_scan_cache()
             tgt_xy = np.zeros((B, S, 2), np.float32)
             tgt_mask = np.zeros((B, S), bool)
             for b, k in enumerate(cand):

@@ -63,13 +63,14 @@ from ndt_slam_tpu.core.points import PointBuffer, pad_points
 from ndt_slam_tpu.pipeline.frontend import FrameResult, FrontEnd
 
 
-@jax.jit
 def _pack_chunk(packed: List[jnp.ndarray]) -> jnp.ndarray:
     """K per-frame [23] packed-output arrays -> ONE [K,23] array, so
     the chunk resolution costs one stack dispatch (K args — arg count
     is what tunnel marshaling scales with) + one device->host
     transfer. The [23] layout is produced inside _registration_step
-    (FrameResult.packed)."""
+    (FrameResult.packed). Deliberately NOT jitted: early flushes and
+    drains produce variable K, and a jit here would retrace/compile
+    per distinct K mid-run; jnp.stack is a single dispatch already."""
     return jnp.stack(packed)
 
 
@@ -98,7 +99,6 @@ class _InFlight:
     scan: PointBuffer           # padded device scan
     out: FrameResult            # device refs of the step outputs
     snapshot: tuple             # map state BEFORE this frame's append
-    last_cov_before: jnp.ndarray  # EKF carry before this frame
 
 
 class PipelinedFrontEnd(FrontEnd):
@@ -157,7 +157,6 @@ class PipelinedFrontEnd(FrontEnd):
         (odo_dev, prev_odo_dev, last_pose_dev, local) = (
             self._frame_inputs(odo)
         )
-        last_cov_before = self.last_cov
 
         # Two dispatches per frame: registration, then the speculative
         # fused map append (assume: no submap close — the close
@@ -203,7 +202,6 @@ class PipelinedFrontEnd(FrontEnd):
         self._queue.append(_InFlight(
             sid=sid, scan_raw=np.asarray(scan_xy_local), rs=rs, odo=odo,
             odo_dev=odo_dev, scan=scan, out=out, snapshot=snapshot,
-            last_cov_before=last_cov_before,
         ))
         if len(self._queue) >= self.depth or self._flush_predicted():
             self._begin_fetch()
@@ -226,15 +224,10 @@ class PipelinedFrontEnd(FrontEnd):
             return True
         # deferred correction: this frame's node index hits a backend
         # check with edges pending and the deferral window elapsed
-        # (edges still in async-verify flight are not counted — that
-        # rare case takes the normal rollback path)
         be = self.backend
-        if be is not None and be._pending_edges > 0:
-            node_idx = self.cnt + len(self._queue) - 1
-            if (node_idx % max(1, cfg.loop_check_skip) == 0
-                    and node_idx - be._last_opt_node
-                    >= cfg.loop_opt_min_frames):
-                return True
+        if be is not None and be.correction_due(
+                self.cnt + len(self._queue) - 1):
+            return True
         return False
 
     def drain(self) -> List[dict]:
@@ -268,8 +261,8 @@ class PipelinedFrontEnd(FrontEnd):
 
     def _begin_fetch(self) -> None:
         """Queue full: stack the chunk's packed results device-side and
-        start the device->host copy; completion happens one chunk
-        later (or at drain)."""
+        start the device->host copy; _complete_fetch consumes it
+        immediately (eager resolution — see the _fetching comment)."""
         assert self._fetching is None
         entries = self._queue
         self._queue = []
@@ -332,12 +325,12 @@ class PipelinedFrontEnd(FrontEnd):
                 e.sid, fused, cov, e.scan, rec
             )
 
-            if (closed or corrected_here) and (
-                    idx + 1 < len(entries) or self._queue):
+            if (closed or corrected_here) and idx + 1 < len(entries):
                 # the registration target changed at this frame: every
                 # later dispatched-but-unresolved registration is stale
-                # — the rest of this chunk AND the currently-filling
-                # queue replay through the synchronous path
+                # — the rest of this chunk replays through the
+                # synchronous path (resolution is eager, so the filling
+                # queue is always empty here: _begin_fetch drained it)
                 replay_from = idx + 1
                 # carries back to THIS frame's outputs (the correction
                 # leaves the EKF covariance carry untouched, matching
@@ -356,8 +349,7 @@ class PipelinedFrontEnd(FrontEnd):
                 self._last_pose_dev = None
 
         if replay_from is not None:
-            stale = entries[replay_from:] + self._queue
-            self._queue = []
+            stale = entries[replay_from:]
             for e in stale:
                 rec = FrontEnd.process(
                     self, e.scan_raw, e.odo, sid=e.sid

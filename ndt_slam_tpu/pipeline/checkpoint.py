@@ -169,12 +169,21 @@ def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None,
     breaks the exact-resume guarantee. Pass strict=False to knowingly
     override (e.g. changing only output/diagnostic knobs).
     """
+    import dataclasses as _dc
+
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["manifest"]))
     stored = dict(meta["cfg"])
     for k, v in list(stored.items()):
         if isinstance(v, list):
             stored[k] = tuple(v)
+    # Manifest compatibility across config evolution: a checkpoint
+    # written by an older build may carry keys that are no longer
+    # SlamConfig fields (dropped) and lack fields added since (take
+    # their defaults). Strict comparison below covers only keys present
+    # in BOTH, so old checkpoints stay loadable either way.
+    known = {f.name for f in _dc.fields(SlamConfig)}
+    stored = {k: v for k, v in stored.items() if k in known}
     if cfg is None:
         cfg = SlamConfig.from_dict(stored)
     elif strict:
@@ -184,7 +193,7 @@ def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None,
         diff = {
             k: (stored.get(k), v)
             for k, v in cfg.to_dict().items()
-            if k not in exempt and stored.get(k) != v
+            if k not in exempt and k in stored and stored.get(k) != v
         }
         if diff:
             raise ValueError(

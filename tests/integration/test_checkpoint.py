@@ -53,6 +53,46 @@ def test_exact_resume(tmp_path):
     np.testing.assert_allclose(g1, g2, atol=1e-6)
 
 
+def test_manifest_config_evolution(tmp_path):
+    """A checkpoint whose manifest carries keys that are no longer
+    SlamConfig fields (removed since) and lacks fields added since must
+    still load: removed keys are dropped, new fields take their
+    defaults, and strict comparison covers only keys present in both
+    (ADVICE r4: old checkpoints hard-failed on either side)."""
+    import json
+    import numpy as np_
+
+    frames = simulate_sequence(n_frames=8, beams=181, seed=3)
+    cfg = _cfg()
+    fe = FrontEnd(cfg)
+    for f in frames:
+        fe.process(f.scan_xy, f.odo_pose, sid=f.sid)
+    ckpt = str(tmp_path / "state.npz")
+    save_checkpoint(fe, ckpt)
+
+    # rewrite the manifest as an "older build" would have written it:
+    # inject a removed key, drop a (pretend-new) key
+    data = dict(np_.load(ckpt, allow_pickle=False))
+    meta = json.loads(str(data.pop("manifest")))
+    meta["cfg"]["max_submap_scans"] = 64          # removed field
+    meta["cfg"].pop("pipeline_depth", None)       # "new" field absent
+    np_.savez_compressed(ckpt, manifest=json.dumps(meta), **data)
+
+    # loads with cfg=None: removed key dropped, new key defaulted
+    fe2 = load_checkpoint(ckpt)
+    assert fe2.cnt == 8
+    assert fe2.cfg.pipeline_depth == SlamConfig().pipeline_depth
+
+    # loads with an explicit cfg under strict: the absent new key is
+    # not a mismatch; a REAL mismatch on a shared key still raises
+    fe3 = load_checkpoint(ckpt, cfg=cfg, strict=True)
+    assert fe3.cnt == 8
+    import pytest
+    with pytest.raises(ValueError, match="config mismatch"):
+        load_checkpoint(ckpt, cfg=cfg.replace(submap_sep_thre=9.0),
+                        strict=True)
+
+
 def test_resume_with_loop_backend(tmp_path):
     frames = simulate_sequence(n_frames=24, beams=361, seed=5)
     cfg = _cfg(loop_enable=True, loop_keyframe_skip=4, loop_check_skip=6)
