@@ -95,6 +95,11 @@ def run_entry(entry: dict, out_root: str, verbose: bool) -> dict:
         rec["ate_rmse_m"] = round(
             float(ate_rmse(fe.get_poses(), true_poses[:n])), 4
         )
+    if "expect_ate_below" in entry and "ate_rmse_m" in rec:
+        # regression gate: the manifest pins an expected ATE bound;
+        # main() exits nonzero when any entry exceeds its bound
+        rec["ate_bound_m"] = float(entry["expect_ate_below"])
+        rec["ate_ok"] = rec["ate_rmse_m"] <= rec["ate_bound_m"]
     return rec
 
 
@@ -211,6 +216,13 @@ def main():
     print("|" + "---|" * len(cols))
     for r in rows:
         print("| " + " | ".join(str(r.get(c, "—")) for c in cols) + " |")
+
+    failed = [r for r in rows if r.get("ate_ok") is False]
+    if failed:
+        for r in failed:
+            print(f"REGRESSION: {r['name']} ATE {r['ate_rmse_m']} > "
+                  f"bound {r['ate_bound_m']}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -43,7 +43,11 @@ def _enable_compile_cache() -> None:
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # Cache EVERYTHING: the old 2.0 s threshold excluded ~40 small
+        # per-run programs at ~0.45 s compile each — 18 s of silent
+        # recompilation per process (measured on the killian profile,
+        # round 5). Entries are a few hundred KB; the cache stays MBs.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # cache support is best-effort, never fatal
         pass
 
