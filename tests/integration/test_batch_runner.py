@@ -148,6 +148,75 @@ def test_batch_with_loop_closure_matches_sequential():
         assert np.median(dmin) < 0.05, np.median(dmin)
 
 
+def test_batch_loop_closure_pinned_gates_near_exact():
+    """VERDICT r4 weak #6: the loose tolerances of the noisy loop-
+    closure parity test (90th pct < 0.15 m) exist because f32 vmap
+    noise can flip verify accept gates AT THE MARGIN, shifting which
+    edges land. On a noise-free fixture no gate sits near its
+    threshold — clean revisits verify with cost ~0 << loop_score_thre
+    and overlap ~1 >> loop_min_overlap — so the sequential and batch
+    runners must accept the SAME edge set and agree near-exactly.
+    A sub-0.15 m slot-map corruption that hid behind the noisy test's
+    tolerance fails here."""
+    def _circle(n, radius=4.0):
+        s = np.linspace(0, 2 * np.pi, n)
+        x = radius * np.sin(s)
+        y = radius * (1 - np.cos(s))
+        th = np.degrees(np.arctan2(np.gradient(y), np.gradient(x)))
+        return np.stack([x, y, th], axis=1)
+
+    cfg = _cfg(
+        grid_cells_x=128, grid_cells_y=128,
+        max_scan_points=1024,
+        max_submap_points=16384,
+        max_local_map_points=32768,
+        loop_enable=True,
+        loop_min_frame_gap=30,
+        loop_radius=3.0,
+        loop_keyframe_skip=3,
+        loop_check_skip=3,
+        pgo_iterations=10,
+    )
+    traj = _circle(80)
+    # noise-free odometry + scans: every verify lands far from its
+    # gate, so accept decisions cannot flip on f32 reduction order
+    seq = simulate_sequence(n_frames=80, beams=361, seed=7,
+                            trajectory=traj, noise_range=0.0,
+                            odo_noise_v=0.0, odo_noise_w=0.0)
+    seqs = [seq, seq]
+
+    fe_seq = FrontEnd(cfg)
+    for fr in seq:
+        fe_seq.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
+    fe_seq.finalize()
+
+    batch_fes = run_slam_batch(seqs, cfg)
+
+    assert fe_seq.backend.loops_accepted >= 1
+    for fe_bat in batch_fes:
+        # identical edge set, identical corrections
+        assert fe_bat.backend.loops_accepted == \
+            fe_seq.backend.loops_accepted
+        assert [(i, j) for i, j, _, _ in fe_bat.backend.loop_edges] == \
+            [(i, j) for i, j, _, _ in fe_seq.backend.loop_edges]
+        assert fe_bat.n_corrections == fe_seq.n_corrections
+        a = np.stack(fe_seq.pose_history)
+        b = np.stack(fe_bat.pose_history)
+        # no gate flips -> only raw f32 vmap-reduction noise remains
+        # (~6e-3 ceiling measured over 14 frames in
+        # test_batch_matches_sequential; corrections don't amplify it
+        # when the edge sets are identical)
+        d = np.hypot(a[:, 0] - b[:, 0], a[:, 1] - b[:, 1])
+        assert d.max() < 0.02, d.max()
+        dth = np.abs((a[:, 2] - b[:, 2] + 180.0) % 360.0 - 180.0)
+        assert dth.max() < 0.2, dth.max()
+        assert len(fe_seq.pcmap.submaps) == len(fe_bat.pcmap.submaps)
+        for sa, sb in zip(fe_bat.pcmap.submaps, fe_seq.pcmap.submaps):
+            ca = int(np.asarray(sa.cloud().count()))
+            cb = int(np.asarray(sb.cloud().count()))
+            assert abs(ca - cb) <= 0.02 * max(ca, cb) + 2, (ca, cb)
+
+
 def test_batch_checkpoint_roundtrip():
     """ADVICE r3 (medium): save_checkpoint on a batch-run FrontEnd used
     to crash — _grow_map stored the ("slot", i) sentinel as
