@@ -41,16 +41,27 @@ from ndt_slam_tpu.mapping.voxel import voxel_filter
 from ndt_slam_tpu.mapping.dynamic import process_interior_scan
 
 
-@jax.jit
-def _append(dst: PointBuffer, dst_count, src: PointBuffer):
-    """Append src's valid points into dst at dst_count (drop overflow)."""
+def _append_rows(dst: PointBuffer, dst_count, src: PointBuffer):
+    """Append src's valid points into dst at dst_count (drop overflow);
+    also returns the (compacted src, appended-row mask) so callers can
+    mirror EXACTLY which rows landed (the incremental moment lattice
+    must not count overflow-dropped points the buffer never got)."""
     s = compact(src)
     idx = dst_count + jnp.arange(s.capacity, dtype=jnp.int32)
     ok = s.mask & (idx < dst.capacity)
     idx = jnp.where(ok, idx, dst.capacity)  # out-of-bounds -> dropped
     xy = dst.xy.at[idx].set(s.xy, mode="drop")
     mask = dst.mask.at[idx].set(ok, mode="drop")
-    return PointBuffer(xy, mask), dst_count + jnp.sum(ok.astype(jnp.int32))
+    out = (PointBuffer(xy, mask),
+           dst_count + jnp.sum(ok.astype(jnp.int32)))
+    return out[0], out[1], s, ok
+
+
+@jax.jit
+def _append(dst: PointBuffer, dst_count, src: PointBuffer):
+    """Append src's valid points into dst at dst_count (drop overflow)."""
+    buf, count, _, _ = _append_rows(dst, dst_count, src)
+    return buf, count
 
 
 @partial(jax.jit, static_argnames=("capacity",))
@@ -134,6 +145,71 @@ def _add_scan_and_target(
     else:
         target = _concat(cur_t, PointBuffer.empty(1), cap_local)
     return proc, proc_count, target
+
+
+@partial(jax.jit, static_argnames=(
+    "append_scan", "do_interior", "include_newest", "has_prev",
+    "filtered", "cap_sub", "cap_local", "resol", "thre", "leaf",
+    "mom_cells", "grid_res"))
+def _add_scan_target_mom(
+    proc: PointBuffer, proc_count, raw_a: PointBuffer, raw_b: PointBuffer,
+    scan: PointBuffer, prev: PointBuffer, mom, mom_anchor, *,
+    append_scan: bool, do_interior: bool, include_newest: bool,
+    has_prev: bool, filtered: bool, cap_sub: int, cap_local: int,
+    resol: float, thre: float, leaf: float,
+    mom_cells: int, grid_res: float,
+):
+    """`_add_scan_and_target` + the incremental NDT moment-lattice
+    update, one device program (VERDICT r4 next-round #2). `mom`
+    [mom_cells^2, 6] carries the running moments of (previous submap's
+    closed cloud + current submap's proc buffer); every row this call
+    appends to `proc` is also scattered into `mom` — ~2k points per
+    frame instead of the registration step rescattering the whole
+    131k-point target buffer. Returns (proc, count, target, mom)."""
+    from ndt_slam_tpu.ndt.grid import moments_abs
+
+    if append_scan:
+        proc, proc_count, s_rows, s_ok = _append_rows(
+            proc, proc_count, scan
+        )
+        mom = mom + moments_abs(
+            s_rows.xy, s_ok, mom_anchor, mom_cells, mom_cells, grid_res
+        )
+    if do_interior:
+        processed = process_interior_scan(raw_a, raw_b, scan, resol, thre)
+        proc, proc_count, p_rows, p_ok = _append_rows(
+            proc, proc_count, processed
+        )
+        mom = mom + moments_abs(
+            p_rows.xy, p_ok, mom_anchor, mom_cells, mom_cells, grid_res
+        )
+    cloud = _concat(proc, scan, cap_sub) if include_newest else proc
+    cur_t = voxel_filter(cloud, leaf) if filtered else cloud
+    if has_prev:
+        target = _concat(prev, cur_t, cap_local)
+    else:
+        target = _concat(cur_t, PointBuffer.empty(1), cap_local)
+    return proc, proc_count, target, mom
+
+
+@partial(jax.jit, static_argnames=("mom_cells", "grid_res", "has_prev"))
+def _rebuild_mom(prev: PointBuffer, proc: PointBuffer, mom_anchor, *,
+                 mom_cells: int, grid_res: float, has_prev: bool):
+    """From-scratch moment lattice: previous submap's closed cloud +
+    the current proc buffer (the additive part of the registration
+    target — the newest raw scan is added per frame at registration).
+    Runs on submap close / bootstrap / remake / checkpoint load; the
+    hot path only ever ADDS to the result (_add_scan_target_mom)."""
+    from ndt_slam_tpu.ndt.grid import moments_abs
+
+    mom = moments_abs(
+        proc.xy, proc.mask, mom_anchor, mom_cells, mom_cells, grid_res
+    )
+    if has_prev:
+        mom = mom + moments_abs(
+            prev.xy, prev.mask, mom_anchor, mom_cells, mom_cells, grid_res
+        )
+    return mom
 
 
 @partial(jax.jit, static_argnames=(
@@ -322,6 +398,14 @@ class PointCloudMap:
         self._cached_target: Optional[PointBuffer] = None
         # incremental remake_maps observability (see remake_maps)
         self.remake_stats = {"calls": 0, "rebuilt": 0, "kept": 0}
+        # incremental NDT moment lattice (cfg.ndt_incremental_grid):
+        # running moments of (prev submap's closed cloud + current proc
+        # buffer), updated additively by the fused add path and rebuilt
+        # from scratch on the rare mutations that bypass it (submap
+        # close, remake, checkpoint load, batch/unfused adds)
+        self._mom: Optional[jnp.ndarray] = None
+        self._mom_anchor: Optional[jnp.ndarray] = None
+        self._mom_valid = False
 
     # -- reference: PointCloudMap::addPose (src/PointCloudMap.cpp:44-55)
     def add_pose(self, pose_deg: np.ndarray):
@@ -351,10 +435,12 @@ class PointCloudMap:
                 new.add_scan(s, carried=True)
             new.add_scan(scan_map_frame)
             self.submaps.append(new)
+            self._mom_valid = False
         elif make_target:
             self._cached_target = self._add_scan_fused(cur, scan_map_frame)
         else:
             cur.add_scan(scan_map_frame)
+            self._mom_valid = False
 
     def fused_add_flags(self):
         """Static flags of `_add_scan_and_target` for the CURRENT frame
@@ -403,10 +489,56 @@ class PointCloudMap:
         cur.proc, cur.proc_count = proc, count
         self._cached_target = target
 
+    def mom_state(self):
+        """(mom [B*B,6], anchor [2]i32) of the incremental lattice,
+        rebuilding from scratch if a bypassing mutation invalidated it.
+        The anchor centers on the OPEN submap's first pose, with margin
+        sized by resolved_grid_mom_cells so every frame window within
+        the submap's travel fits (the registration step still emits a
+        per-frame in-range flag as the loud fallback)."""
+        cfg = self.cfg
+        if not self._mom_valid:
+            B = cfg.resolved_grid_mom_cells
+            cur = self.submaps[-1]
+            first = (self.poses[cur.cnt_s] if self.poses
+                     else np.zeros(3, np.float32))
+            anchor = np.floor(
+                np.asarray(first[:2], np.float32) / cfg.ndt_resolution
+                - B / 2.0
+            ).astype(np.int32)
+            self._mom_anchor = jnp.asarray(anchor)
+            has_prev = len(self.submaps) >= 2
+            prev = (self.submaps[-2].final_cloud if has_prev
+                    else PointBuffer.empty(1))
+            self._mom = _rebuild_mom(
+                prev, cur.proc, self._mom_anchor,
+                mom_cells=B, grid_res=cfg.ndt_resolution,
+                has_prev=has_prev,
+            )
+            self._mom_valid = True
+        return self._mom, self._mom_anchor
+
+    def newest_raw(self) -> Optional[PointBuffer]:
+        """The open submap's newest raw scan (map frame) — the
+        non-additive part of the registration target under
+        remove_moving (rides along in cloud(), not in proc/lattice)."""
+        cur = self.submaps[-1]
+        return cur.raw[-1] if cur.raw else None
+
     def _add_scan_fused(self, cur: Submap, scan: PointBuffer) -> PointBuffer:
-        """Run `_add_scan_and_target` for this frame and apply it."""
+        """Run the fused per-frame map update for this frame and apply
+        it (the mom-aware variant when the incremental grid is on)."""
         flags, ops = self.fused_add_operands(scan)
-        proc, count, target = _add_scan_and_target(*ops, **flags)
+        if self.cfg.resolved_ndt_incremental_grid:
+            mom, anchor = self.mom_state()
+            proc, count, target, mom = _add_scan_target_mom(
+                *ops, mom, anchor, **flags,
+                mom_cells=self.cfg.resolved_grid_mom_cells,
+                grid_res=self.cfg.ndt_resolution,
+            )
+            self._mom = mom
+        else:
+            proc, count, target = _add_scan_and_target(*ops, **flags)
         self.commit_fused_add(scan, proc, count, target)
         return target
 
@@ -596,6 +728,7 @@ class PointCloudMap:
         self.poses = [p for p in new_poses]
         self.atd = float(cum[-1])
         self._cached_target = None
+        self._mom_valid = False
         self.last_pose = new_poses[-1].copy()
         self.remake_stats["calls"] += 1
         self.remake_stats["rebuilt"] += n_rebuilt

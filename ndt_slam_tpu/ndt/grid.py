@@ -182,6 +182,134 @@ def grid_finalize(
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental moment lattice (VERDICT r4 next-round #2).
+#
+# The per-frame build above rescatters the WHOLE local-map buffer
+# (131k padded points at production capacity) although the target
+# changes by ONE appended scan per frame — moments are additive, so a
+# per-submap lattice of running moments turns the per-frame cost into
+# (a) one ~2k-point scatter when a scan is appended and (b) a window
+# slice + finalize at registration time. Cells are keyed by ABSOLUTE
+# lattice index floor(x / resolution) so the assignment is independent
+# of any window origin: the same point lands in the same cell whether
+# it is scattered into the running lattice or into a from-scratch
+# frame window, and cell-relative coordinates (x - cell*resolution)
+# are computed identically in both paths — the only difference from a
+# full rebuild is f32 summation ORDER (~ulp).
+# ---------------------------------------------------------------------------
+
+
+def lattice_anchor(center, cells: int, resolution: float):
+    """Integer lattice index of the lower-left corner of a `cells`-wide
+    window centered on `center` (host or device [2])."""
+    half = jnp.asarray(center) / resolution - cells / 2.0
+    return jnp.floor(half).astype(jnp.int32)
+
+
+def moments_abs(
+    xy: jnp.ndarray,
+    mask: jnp.ndarray,
+    anchor: jnp.ndarray,     # [2] int32 absolute index of cell (0,0)
+    nx: int,
+    ny: int,
+    resolution: float,
+) -> jnp.ndarray:
+    """[nx*ny, 6] moment rows (count, sx, sy, sxx, sxy, syy) of the
+    masked points, cells keyed by absolute index minus `anchor`.
+    Additive: lattices accumulate by `+` across scans / shards."""
+    num_cells = nx * ny
+    ci_abs = jnp.floor(xy / resolution).astype(jnp.int32)
+    ci = ci_abs - anchor[None, :]
+    ok = (
+        mask
+        & (ci[:, 0] >= 0) & (ci[:, 0] < nx)
+        & (ci[:, 1] >= 0) & (ci[:, 1] < ny)
+    )
+    cid = jnp.where(ok, ci[:, 0] * ny + ci[:, 1], num_cells)
+    corner = ci_abs.astype(xy.dtype) * resolution
+    xr = jnp.where(ok, xy[:, 0] - corner[:, 0], 0.0)
+    yr = jnp.where(ok, xy[:, 1] - corner[:, 1], 0.0)
+    ones = ok.astype(xy.dtype)
+    rows = jnp.stack([ones, xr, yr, xr * xr, xr * yr, yr * yr], axis=-1)
+    acc = jax.ops.segment_sum(rows, cid, num_segments=num_cells + 1)
+    return acc[:num_cells]
+
+
+def window_grid_from_lattice(
+    mom: jnp.ndarray,        # [B*B? no: [Bx*By, 6] running lattice
+    mom_anchor: jnp.ndarray,  # [2] int32
+    bx: int,
+    by: int,
+    frame_anchor: jnp.ndarray,  # [2] int32 window anchor
+    nx: int,
+    ny: int,
+    resolution: float,
+    extra: jnp.ndarray | None = None,  # [nx*ny, 6] fresh-scan moments
+    min_pts: int = 6,
+    eig_mult: float = 0.01,
+):
+    """Slice the [nx,ny] frame window out of the running lattice, add
+    optional fresh moments, finalize to an NDTGrid.
+
+    Returns (grid, in_range): `in_range` is False when the requested
+    window does not fit inside the lattice — dynamic_slice CLAMPS the
+    start in that case, so the caller must fall back to a full rebuild
+    for that frame (the margin is sized so this cannot happen under
+    the configured submap travel; the flag makes violations loud
+    instead of silently wrong)."""
+    off = frame_anchor - mom_anchor
+    in_range = (
+        (off[0] >= 0) & (off[0] <= bx - nx)
+        & (off[1] >= 0) & (off[1] <= by - ny)
+    )
+    win = jax.lax.dynamic_slice(
+        mom.reshape(bx, by, 6), (off[0], off[1], 0), (nx, ny, 6)
+    ).reshape(nx * ny, 6)
+    if extra is not None:
+        win = win + extra
+    origin = frame_anchor.astype(jnp.float32) * resolution
+    moments = tuple(win[:, i] for i in range(6))
+    grid = _finalize_abs(
+        moments, origin, frame_anchor, nx, ny, resolution,
+        min_pts, eig_mult,
+    )
+    return grid, in_range
+
+
+def _finalize_abs(moments, origin, anchor, nx, ny, resolution,
+                  min_pts, eig_mult) -> NDTGrid:
+    """grid_finalize with corners restored from ABSOLUTE cell indices
+    ((local + anchor) * resolution — the exact floats moments_abs
+    subtracted, so the cancellation-free reconstruction is exact)."""
+    count, sx, sy, sxx, sxy, syy = moments
+    cell = jnp.arange(nx * ny, dtype=jnp.int32)
+    corner_x = ((cell // ny) + anchor[0]).astype(sx.dtype) * resolution
+    corner_y = ((cell % ny) + anchor[1]).astype(sy.dtype) * resolution
+    n = jnp.maximum(count, 1.0)
+    mx, my = sx / n, sy / n
+    nm1 = jnp.maximum(count - 1.0, 1.0)
+    cxx = (sxx - count * mx * mx) / nm1
+    cxy = (sxy - count * mx * my) / nm1
+    cyy = (syy - count * my * my) / nm1
+    cov = jnp.stack(
+        [
+            jnp.stack([cxx, cxy], axis=-1),
+            jnp.stack([cxy, cyy], axis=-1),
+        ],
+        axis=-2,
+    )
+    inv_cov, inv_ok = _inflate_and_invert(cov, eig_mult)
+    valid = (count >= min_pts) & inv_ok
+    mean = jnp.stack([mx + corner_x, my + corner_y], axis=-1)
+    mean = jnp.where(valid[:, None], mean, 1.0e8)
+    inv_cov = jnp.where(valid[:, None, None], inv_cov, 0.0)
+    return NDTGrid(
+        origin=origin, mean=mean, inv_cov=inv_cov, valid=valid,
+        nx=nx, ny=ny, resolution=resolution,
+    )
+
+
 def build_grid(
     xy: jnp.ndarray,
     mask: jnp.ndarray,

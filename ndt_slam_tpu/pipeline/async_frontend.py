@@ -75,8 +75,10 @@ def _pack_chunk(packed: List[jnp.ndarray]) -> jnp.ndarray:
 
 
 def _unpack_row(row: np.ndarray):
-    """[23] row -> host_vals tuple in FrontEnd._finish_frame order:
-    (fused, cov, cost, successful, est, iters, matched, err, tprob)."""
+    """[24] row -> host_vals tuple in FrontEnd._finish_frame order:
+    (fused, cov, cost, successful, est, iters, matched, err, tprob).
+    row[23] (the incremental-grid in-range flag) is consumed by the
+    resolver directly, before this unpack."""
     fused = row[0:3]
     cov = row[3:12].reshape(3, 3)
     cost = float(row[12])
@@ -170,17 +172,12 @@ class PipelinedFrontEnd(FrontEnd):
         out = self._run_step(scan, odo_dev, prev_odo_dev,
                              last_pose_dev, local)
         gbuf = PointBuffer(out.global_xy, scan.mask)
-        ops = self.pcmap.fused_add_operands(gbuf)
-        assert ops is not None, (
+        assert self.pcmap.fused_add_flags() is not None, (
             "resolved atd crossed sep_thre without a close — "
             "resolution must close submaps eagerly"
         )
-        flags, operands = ops
-        from ndt_slam_tpu.mapping.pointcloud_map import (
-            _add_scan_and_target,
-        )
-        proc, count, target = _add_scan_and_target(*operands, **flags)
-        self.pcmap.commit_fused_add(gbuf, proc, count, target)
+        # fused map append (+ incremental-lattice update when enabled)
+        self.pcmap._add_scan_fused(self.pcmap.submaps[-1], gbuf)
 
         # device carries advance to this frame
         self.last_cov = out.cov
@@ -246,10 +243,12 @@ class PipelinedFrontEnd(FrontEnd):
 
     def _take_snapshot(self) -> tuple:
         """References to the map state a rollback must restore —
-        everything the speculative fused append mutates."""
+        everything the speculative fused append mutates (JAX arrays
+        are immutable, so these are reference captures, not copies)."""
         cur = self.pcmap.submaps[-1]
+        p = self.pcmap
         return (cur.proc, cur.proc_count, list(cur.raw), cur.n_scans,
-                self.pcmap._cached_target)
+                p._cached_target, p._mom, p._mom_anchor, p._mom_valid)
 
     def _restore_snapshot(self, snap: tuple):
         cur = self.pcmap.submaps[-1]
@@ -257,7 +256,9 @@ class PipelinedFrontEnd(FrontEnd):
         cur.proc_count = snap[1]
         cur.raw = list(snap[2])
         cur.n_scans = snap[3]
-        self.pcmap._cached_target = snap[4]
+        p = self.pcmap
+        p._cached_target = snap[4]
+        p._mom, p._mom_anchor, p._mom_valid = snap[5], snap[6], snap[7]
 
     def _begin_fetch(self) -> None:
         """Queue full: stack the chunk's packed results device-side and
@@ -286,6 +287,22 @@ class PipelinedFrontEnd(FrontEnd):
         recs: List[dict] = []
         replay_from: Optional[int] = None
         for idx, e in enumerate(entries):
+            if not rows[idx][23] > 0.0:
+                # incremental-grid window escaped its lattice: this
+                # frame's REGISTRATION itself is invalid (the window
+                # slice was clamped). Roll the map back to before this
+                # frame and replay it (and the tail) through the
+                # synchronous path, the first frame on the full
+                # rebuild (FrontEnd.process checks grid_ok again).
+                self._restore_snapshot(e.snapshot)
+                self.n_grid_fallbacks += 1
+                self.n_rollbacks += 1
+                self._force_full_grid = True
+                self.last_cov = jnp.asarray(self.cov_history[-1])
+                self._last_pose_dev = None
+                self._prev_odo_dev = None
+                replay_from = idx
+                break
             host_vals = _unpack_row(rows[idx])
             fused, cov = host_vals[0], host_vals[1]
 

@@ -187,7 +187,7 @@ class BatchFrontEnd:
             jnp.asarray(prev_np), jnp.asarray(last_np),
             jnp.asarray(cov_np), local_xy_b, local_mask_b,
         )
-        # ONE transfer for the whole batch's small outputs — the [B,23]
+        # ONE transfer for the whole batch's small outputs — the [B,24]
         # packed rows the step emits (fetching 9 separate arrays costs
         # 9x the tunnel marshaling).
         from ndt_slam_tpu.pipeline.async_frontend import _unpack_row

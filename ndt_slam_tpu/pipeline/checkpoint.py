@@ -90,6 +90,12 @@ def save_checkpoint(fe: FrontEnd, path: str) -> None:
     for i, s in enumerate(pm.local_scans):
         arrays[f"local_scan_{i}"] = np.asarray(s)
     meta["pcmap"]["n_local_scans"] = len(pm.local_scans)
+    # incremental NDT moment lattice: saved so a resumed run keeps the
+    # exact f32 summation history (a from-scratch rebuild on load would
+    # differ in the low bits and break bit-exact resume)
+    if pm._mom_valid and pm._mom is not None:
+        arrays["pcmap_mom"] = np.asarray(pm._mom)
+        arrays["pcmap_mom_anchor"] = np.asarray(pm._mom_anchor)
 
     for si, sm in enumerate(pm.submaps):
         sd = {
@@ -236,6 +242,17 @@ def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None,
         np.asarray(data[f"local_scan_{i}"])
         for i in range(meta["pcmap"]["n_local_scans"])
     ]
+    if "pcmap_mom" in data:
+        mom = np.asarray(data["pcmap_mom"])
+        B = cfg.resolved_grid_mom_cells
+        if mom.shape[0] == B * B:
+            pm._mom = jnp.asarray(mom)
+            pm._mom_anchor = jnp.asarray(
+                np.asarray(data["pcmap_mom_anchor"], np.int32)
+            )
+            pm._mom_valid = True
+        # else: lattice size changed (non-strict override) — leave
+        # invalid; mom_state() rebuilds from the restored buffers
 
     pm.submaps = []
     for si, sd in enumerate(meta["pcmap"]["submaps"]):

@@ -111,6 +111,7 @@ class DistFrontEnd(FrontEnd):
                         host.trans_probability], np.float32),
             np.asarray(host.est_pose, np.float32),
             np.asarray(host.error_pose, np.float32),
+            np.ones(1, np.float32),  # grid_ok (full rebuild path)
         ])
         return FrameResult(
             est_pose=jnp.asarray(host.est_pose),
@@ -124,6 +125,7 @@ class DistFrontEnd(FrontEnd):
             error_pose=jnp.asarray(host.error_pose),
             trans_probability=jnp.asarray(host.trans_probability),
             packed=jnp.asarray(packed),
+            grid_ok=jnp.float32(1.0),
         )
 
 

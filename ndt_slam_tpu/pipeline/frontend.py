@@ -55,13 +55,17 @@ class FrameResult(NamedTuple):
     trans_probability: jnp.ndarray  # score per source point (PCL
     # getTransformationProbability analog, logged by the reference at
     # src/PoseEstimator.cpp:48-49; our objective E = -score sum)
-    packed: jnp.ndarray       # [23] all small outputs in one array —
+    packed: jnp.ndarray       # [24] all small outputs in one array —
     # the pipelined frontend fetches K frames' results by stacking K of
     # these (K args) instead of K x 10 separate arrays (arg marshaling
     # over a remote-TPU tunnel scales with arg count; measured: depth
     # 32 resolves were 8x SLOWER than depth 8 before this field).
     # Layout: fused(3) cov(9) cost successful iters matched tprob
-    # est(3) err(3) — see pipeline/async_frontend._unpack_row.
+    # est(3) err(3) grid_ok — see pipeline/async_frontend._unpack_row.
+    # grid_ok is 1.0 except when the incremental-grid window escaped
+    # its moment lattice (the frontend then redoes the frame with the
+    # full grid rebuild).
+    grid_ok: jnp.ndarray      # scalar float, == packed[23]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -80,15 +84,79 @@ def _registration_step(
     odo_motion = pose2.cal_motion(odo_pose, prev_odo)
     pred_pose = pose2.cal_pred_pose(odo_motion, last_pose)
 
-    # --- source downsample (reference: src/PoseEstimator.cpp:6-10)
-    src = voxel_filter(PointBuffer(scan_xy, scan_mask), cfg.source_leaf_size)
-
     # --- NDT grid over the local map, window centered on the prediction
     grid = build_grid(
         local_xy, local_mask, pred_pose[:2],
         cfg.grid_cells_x, cfg.grid_cells_y, cfg.ndt_resolution,
         min_pts=cfg.ndt_min_points_per_cell,
     )
+    return _register_with_grid(
+        cfg, grid, scan_xy, scan_mask, odo_pose, odo_motion, pred_pose,
+        last_pose, last_cov, local_xy, local_mask,
+        grid_ok=jnp.float32(1.0),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "include_newest"))
+def _registration_step_inc(
+    cfg: SlamConfig,
+    scan_xy: jnp.ndarray,      # [S,2] resampled scan, sensor frame
+    scan_mask: jnp.ndarray,    # [S]
+    odo_pose: jnp.ndarray,     # [3]
+    prev_odo: jnp.ndarray,     # [3]
+    last_pose: jnp.ndarray,    # [3]
+    last_cov: jnp.ndarray,     # [3,3]
+    local_xy: jnp.ndarray,     # [L,2] target buffer (fitness NN pass)
+    local_mask: jnp.ndarray,   # [L]
+    mom: jnp.ndarray,          # [B*B,6] running moment lattice
+    mom_anchor: jnp.ndarray,   # [2] int32 lattice anchor (abs cells)
+    newest_xy: jnp.ndarray,    # [S,2] newest raw scan (map frame)
+    newest_mask: jnp.ndarray,  # [S]
+    include_newest: bool,
+) -> FrameResult:
+    """Registration against the INCREMENTAL moment lattice (VERDICT r4
+    next-round #2): the NDT grid is a dynamic window slice of the
+    running lattice plus the newest raw scan's fresh ~2k-point scatter,
+    instead of a full rescatter of the [L]-point target buffer. The
+    target buffer still feeds the fitness pass (reference semantics:
+    getFitnessScore runs over target POINTS, src/PoseEstimator.cpp:42).
+    `include_newest` mirrors Submap.step_flags: with remove_moving the
+    newest raw scan rides along in cloud() and is not in the lattice."""
+    from ndt_slam_tpu.ndt.grid import (
+        lattice_anchor, moments_abs, window_grid_from_lattice,
+    )
+
+    odo_motion = pose2.cal_motion(odo_pose, prev_odo)
+    pred_pose = pose2.cal_pred_pose(odo_motion, last_pose)
+
+    B = cfg.resolved_grid_mom_cells
+    nx, ny = cfg.grid_cells_x, cfg.grid_cells_y
+    res = cfg.ndt_resolution
+    frame_anchor = lattice_anchor(pred_pose[:2], nx, res)
+    extra = None
+    if include_newest:
+        extra = moments_abs(newest_xy, newest_mask, frame_anchor,
+                            nx, ny, res)
+    grid, in_range = window_grid_from_lattice(
+        mom, mom_anchor, B, B, frame_anchor, nx, ny, res,
+        extra=extra, min_pts=cfg.ndt_min_points_per_cell,
+    )
+    return _register_with_grid(
+        cfg, grid, scan_xy, scan_mask, odo_pose, odo_motion, pred_pose,
+        last_pose, last_cov, local_xy, local_mask,
+        grid_ok=in_range.astype(jnp.float32),
+    )
+
+
+def _register_with_grid(
+    cfg: SlamConfig, grid, scan_xy, scan_mask, odo_pose, odo_motion,
+    pred_pose, last_pose, last_cov, local_xy, local_mask, grid_ok,
+) -> FrameResult:
+    """Shared registration tail: source downsample, align, fitness,
+    gate+fuse, map-frame projection, packed-row assembly."""
+    # --- source downsample (reference: src/PoseEstimator.cpp:6-10)
+    src = voxel_filter(PointBuffer(scan_xy, scan_mask), cfg.source_leaf_size)
+
     use_pallas = cfg.resolved_ndt_engine == "pallas"
     if cfg.resolved_ndt_engine in ("compact", "pallas"):
         grid = compact_grid(grid, cfg.ndt_max_active_cells)
@@ -146,6 +214,7 @@ def _registration_step(
         ]),
         est_pose,
         error_pose,
+        grid_ok[None],
     ])
     return FrameResult(
         est_pose=est_pose,
@@ -159,6 +228,7 @@ def _registration_step(
         error_pose=error_pose,
         trans_probability=trans_prob,
         packed=packed,
+        grid_ok=grid_ok,
     )
 
 
@@ -192,6 +262,12 @@ class FrontEnd:
         # sequences in the tick (batch_runner._flush_map_updates).
         self._defer_map = False
         self._pending_scan: Optional[PointBuffer] = None
+        # incremental-grid escape hatch: route the NEXT dispatched
+        # frame through the full grid rebuild (set when a frame's
+        # window escaped the moment lattice; n_grid_fallbacks counts
+        # occurrences — expected 0 with the auto-sized margin)
+        self._force_full_grid = False
+        self.n_grid_fallbacks = 0
         # set by _apply_correction: the map was rebuilt in place, so
         # any stack-resident copy of it (batch runner) is stale
         self._map_rewritten = False
@@ -207,7 +283,8 @@ class FrontEnd:
         The per-frame registration step still compiles on frame 1 —
         call this for latency-sensitive runs and fair benchmarks."""
         from ndt_slam_tpu.mapping.pointcloud_map import (
-            _add_scan_and_target, _append, _concat, _interior, _voxel,
+            _add_scan_and_target, _add_scan_target_mom, _append,
+            _concat, _interior, _rebuild_mom, _voxel,
         )
         cfg = self.cfg
         scan = PointBuffer.empty(cfg.max_scan_points)
@@ -225,14 +302,36 @@ class FrontEnd:
                         (False, True, True)]
         else:
             variants = [(True, False, False)]
+        inc_grid = cfg.resolved_ndt_incremental_grid
+        B = cfg.resolved_grid_mom_cells
+        mom = jnp.zeros((B * B, 6), jnp.float32)
+        mom_anchor = jnp.zeros((2,), jnp.int32)
         outs = []
         for has_prev in (False, True):
             pv = proc if has_prev else PointBuffer.empty(1)
             for ap, di, inc in variants:
-                outs.append(_add_scan_and_target(
-                    proc, zero, scan, scan, scan, pv,
-                    append_scan=ap, do_interior=di, include_newest=inc,
-                    has_prev=has_prev, **common,
+                if inc_grid:
+                    outs.append(_add_scan_target_mom(
+                        proc, zero, scan, scan, scan, pv, mom,
+                        mom_anchor,
+                        append_scan=ap, do_interior=di,
+                        include_newest=inc, has_prev=has_prev,
+                        mom_cells=B, grid_res=cfg.ndt_resolution,
+                        **common,
+                    ))
+                else:
+                    outs.append(_add_scan_and_target(
+                        proc, zero, scan, scan, scan, pv,
+                        append_scan=ap, do_interior=di,
+                        include_newest=inc, has_prev=has_prev,
+                        **common,
+                    ))
+        if inc_grid:
+            for has_prev in (False, True):
+                pv = proc if has_prev else PointBuffer.empty(1)
+                outs.append(_rebuild_mom(
+                    pv, proc, mom_anchor, mom_cells=B,
+                    grid_res=cfg.ndt_resolution, has_prev=has_prev,
                 ))
         # submap close + post-close unfused target fallback
         c = _concat(proc, scan, cfg.max_submap_points)
@@ -299,16 +398,52 @@ class FrontEnd:
         host_vals = jax.device_get((
             out.fused_pose, out.cov, out.cost, out.successful,
             out.est_pose, out.iterations, out.matched,
-            out.error_pose, out.trans_probability,
+            out.error_pose, out.trans_probability, out.grid_ok,
         ))
-        return self._finish_frame(out, host_vals, scan, rs, odo,
+        if not host_vals[9] > 0.0:
+            # incremental-grid window escaped its lattice: redo this
+            # frame through the full rebuild (loud fallback; the
+            # auto-sized margin makes this unreachable in normal runs)
+            self.n_grid_fallbacks += 1
+            self._force_full_grid = True
+            out = self._run_step(scan, odo_dev, prev_odo_dev,
+                                 last_pose_dev, local)
+            host_vals = jax.device_get((
+                out.fused_pose, out.cov, out.cost, out.successful,
+                out.est_pose, out.iterations, out.matched,
+                out.error_pose, out.trans_probability, out.grid_ok,
+            ))
+        return self._finish_frame(out, host_vals[:9], scan, rs, odo,
                                   odo_dev, sid)
 
     def _run_step(self, scan: PointBuffer, odo_dev, prev_odo_dev,
                   last_pose_dev, local: PointBuffer) -> FrameResult:
         """Dispatch the per-frame device step. The multi-host runner
         (pipeline/dist_runner.DistFrontEnd) overrides this to run the
-        registration sharded over the global device set."""
+        registration sharded over the global device set.
+
+        With cfg.ndt_incremental_grid the NDT grid comes from the
+        running moment lattice (window slice + newest-scan scatter)
+        instead of a full rescatter of the target buffer; the
+        `_force_full_grid` escape hatch (set when a frame's window
+        escaped the lattice — see FrameResult.grid_ok) routes ONE
+        frame back through the full rebuild."""
+        cfg = self.cfg
+        if (cfg.resolved_ndt_incremental_grid and not self._defer_map
+                and not self._force_full_grid):
+            mom, anchor = self.pcmap.mom_state()
+            newest = self.pcmap.newest_raw()
+            include_newest = bool(cfg.remove_moving
+                                  and newest is not None)
+            if newest is None:
+                newest = scan  # unused (include_newest False)
+            return _registration_step_inc(
+                cfg, scan.xy, scan.mask,
+                odo_dev, prev_odo_dev, last_pose_dev, self.last_cov,
+                local.xy, local.mask, mom, anchor,
+                newest.xy, newest.mask, include_newest,
+            )
+        self._force_full_grid = False
         return _registration_step(
             self.cfg, scan.xy, scan.mask,
             odo_dev, prev_odo_dev, last_pose_dev, self.last_cov,
