@@ -116,6 +116,11 @@ class GraphBackend:
         self._dummy_scan = None  # masked filler rows for short batches
         # sharded-verify host copies of keyframe scans, keyed by sid
         self._host_scan_cache: dict = {}
+        # prefetched in-flight verify rows: (packed_ref, rows_np), fed
+        # by the pipelined frontend when it folds the verify fetch into
+        # its chunk fetch (ONE combined device_get instead of a
+        # separate RTT at the next backend check — VERDICT r4 #1)
+        self._prefetched: Optional[tuple] = None
         # wall-time split of the backend bill (BASELINE.md accounting):
         # t_verify = candidate verification (dispatch+fetch),
         # t_optimize = pose-graph solves.
@@ -313,8 +318,22 @@ class GraphBackend:
         cand_sids = [self.keyframes.sids[k] for k in cand]
         self._inflight = (sid, cand_sids, packed)
 
+    def inflight_packed(self):
+        """The in-flight async verification's packed device array, or
+        None — exposed so the pipelined frontend can fold its fetch
+        into the chunk fetch (one combined transfer)."""
+        return self._inflight[2] if self._inflight is not None else None
+
+    def feed_prefetched(self, rows: np.ndarray) -> None:
+        """Hand the backend the host copy of its in-flight verify
+        results (fetched alongside the pipeline chunk); the next
+        _resolve_verify consumes it without a device round trip."""
+        if self._inflight is not None:
+            self._prefetched = (self._inflight[2], np.asarray(rows))
+
     def _resolve_verify(self) -> None:
-        """Fetch an in-flight verification (ONE [B,16] transfer) and
+        """Resolve an in-flight verification (ONE [B,16] transfer —
+        or zero, when the pipelined frontend prefetched the rows) and
         add its accepted edges."""
         if self._inflight is None:
             return
@@ -324,7 +343,11 @@ class GraphBackend:
 
         sid, cand_sids, packed = self._inflight
         self._inflight = None
-        rows = np.asarray(jax.device_get(packed))
+        pf, self._prefetched = self._prefetched, None
+        if pf is not None and pf[0] is packed:
+            rows = pf[1]
+        else:
+            rows = np.asarray(jax.device_get(packed))
 
         sid_rows = {s: i for i, s in enumerate(self.node_sids)}
         cur_node = sid_rows.get(sid)

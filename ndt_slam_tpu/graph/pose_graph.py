@@ -312,15 +312,23 @@ def _pcg_gn(
 
     precond_seg_len > 0 selects the chain-aware SEGMENT preconditioner
     (VERDICT r4 weak #3): nodes are grouped into runs of that length
-    and each GN step factorizes the per-segment dense sub-Hessians
-    [M, 3L, 3L] once (batched Cholesky — trivial on-chip), so every CG
-    application solves the odometry chain EXACTLY within segments
-    instead of only its 3x3 diagonal. The chain is the stiff part of a
-    SLAM graph; block-Jacobi leaves its full O(N^2) condition number to
-    CG, which is exactly what blew up on the grid-128 killian edge set
-    (202 s vs 53 s of t_optimize from a slightly different edge set).
-    Cross-segment couplings (chain boundary + loop edges) keep only
-    their diagonal blocks, which preserves SPD."""
+    and the per-segment dense sub-Hessians [M, 3L, 3L] are assembled
+    and inverted ONCE PER SOLVE from the initial linearization, so
+    every CG application solves the odometry chain EXACTLY within
+    segments instead of only its 3x3 diagonal. The chain is the stiff
+    part of a SLAM graph; block-Jacobi leaves its full O(N^2)
+    condition number to CG, which is exactly what blew up on the
+    grid-128 killian edge set (202 s vs 53 s of t_optimize from a
+    slightly different edge set). Cross-segment couplings (chain
+    boundary + loop edges) keep only their diagonal blocks, which
+    preserves SPD. Two cost lessons are baked in, both measured on the
+    killian run: (a) applying via cho_solve per CG iteration is
+    catastrophic on TPU (t_optimize 66 -> 366 s — triangular solves
+    serialize row-by-row on the VPU; the explicit inverse applies as
+    an MXU matmul); (b) re-assembling + re-inverting per GN STEP still
+    cost 212 s (the batched LU is the expensive part) — the
+    preconditioner lags the linearization instead, which CG tolerates
+    (it only shapes the search, correctness comes from hvp)."""
     N = graph.capacity_nodes
     node_f = graph.node_mask.astype(jnp.float32)
     # gauge: node 0 fixed; invalid nodes inert
@@ -333,6 +341,80 @@ def _pcg_gn(
         r, _, _, om = _edge_terms(graph, poses)
         w = jnp.einsum("ei,eij,ej->e", r, om, r)
         return psum(jnp.sum(w))
+
+    def _seg_precond(poses):
+        """Assemble + invert the per-segment sub-Hessians at `poses`;
+        returns the [M, 3L, 3L] inverse blocks."""
+        L = precond_seg_len
+        M = N // L
+        _, A, B, om = _edge_terms(graph, poses)
+        AtO = jnp.einsum("eki,ekl->eil", A, om)
+        BtO = jnp.einsum("eki,ekl->eil", B, om)
+        H_ii = jnp.einsum("eil,elj->eij", AtO, A)
+        H_jj = jnp.einsum("eil,elj->eij", BtO, B)
+        fi = free[graph.idx_i]
+        fj = free[graph.idx_j]
+        seg_i = graph.idx_i // L
+        seg_j = graph.idx_j // L
+        off_i = graph.idx_i % L
+        off_j = graph.idx_j % L
+        same = (seg_i == seg_j).astype(jnp.float32)
+        H_ij = jnp.einsum("eil,elj->eij", AtO, B)
+        blocks = jnp.zeros((M * L * L, 3, 3), jnp.float32)
+        blocks = blocks.at[
+            seg_i * (L * L) + off_i * L + off_i
+        ].add(H_ii * fi[:, None, None])
+        blocks = blocks.at[
+            seg_j * (L * L) + off_j * L + off_j
+        ].add(H_jj * fj[:, None, None])
+        cpl = (same * fi * fj)[:, None, None]
+        blocks = blocks.at[
+            seg_i * (L * L) + off_i * L + off_j
+        ].add(H_ij * cpl)
+        blocks = blocks.at[
+            seg_i * (L * L) + off_j * L + off_i
+        ].add(jnp.swapaxes(H_ij, -1, -2) * cpl)
+        blocks = psum(blocks)
+        diag = damping * free[:, None, None] * eye[None] \
+            + (1.0 - free)[:, None, None] * eye[None]
+        blocks = blocks.at[
+            jnp.arange(N) // L * (L * L)
+            + (jnp.arange(N) % L) * (L + 1)
+        ].add(diag)
+        Hseg = blocks.reshape(M, L, L, 3, 3)
+        Hseg = Hseg.transpose(0, 1, 3, 2, 4).reshape(M, 3 * L, 3 * L)
+        return jnp.linalg.inv(Hseg)
+
+    if precond_seg_len > 0:
+        L = precond_seg_len
+        M = N // L
+        minv_seg = _seg_precond(graph.poses_rad)
+
+        def make_precond(H_ii, H_jj):
+            def precond(v):
+                vf = (v * free[:, None]).reshape(M, 3 * L)
+                out = jnp.einsum("mij,mj->mi", minv_seg, vf)
+                out = out.reshape(N, 3) * free[:, None]
+                # a (numerically) failed segment factorization must
+                # not poison CG: fall back to the identity there
+                return jnp.where(
+                    jnp.isfinite(out), out, v * free[:, None]
+                )
+            return precond
+    else:
+        def make_precond(H_ii, H_jj):
+            D = jnp.zeros((N, 3, 3), jnp.float32)
+            D = D.at[graph.idx_i].add(H_ii)
+            D = D.at[graph.idx_j].add(H_jj)
+            D = psum(D)
+            # prior AFTER the psum (added once, replicated)
+            D = D + damping * eye[None] * free[:, None, None] \
+                + eye[None] * (1.0 - free)[:, None, None]
+            minv = jnp.linalg.inv(D)
+
+            def precond(v):
+                return jnp.einsum("nij,nj->ni", minv, v) * free[:, None]
+            return precond
 
     def gn_step(_, poses):
         r, A, B, om = _edge_terms(graph, poses)
@@ -348,66 +430,9 @@ def _pcg_gn(
         ))
         rhs = -b * free[:, None]
 
-        # preconditioner assembly
         H_ii = jnp.einsum("eil,elj->eij", AtO, A)
         H_jj = jnp.einsum("eil,elj->eij", BtO, B)
-        if precond_seg_len > 0:
-            L = precond_seg_len
-            M = N // L
-            fi = free[graph.idx_i]
-            fj = free[graph.idx_j]
-            seg_i = graph.idx_i // L
-            seg_j = graph.idx_j // L
-            off_i = graph.idx_i % L
-            off_j = graph.idx_j % L
-            same = (seg_i == seg_j).astype(jnp.float32)
-            H_ij = jnp.einsum("eil,elj->eij", AtO, B)
-            blocks = jnp.zeros((M * L * L, 3, 3), jnp.float32)
-            blocks = blocks.at[
-                seg_i * (L * L) + off_i * L + off_i
-            ].add(H_ii * fi[:, None, None])
-            blocks = blocks.at[
-                seg_j * (L * L) + off_j * L + off_j
-            ].add(H_jj * fj[:, None, None])
-            cpl = (same * fi * fj)[:, None, None]
-            blocks = blocks.at[
-                seg_i * (L * L) + off_i * L + off_j
-            ].add(H_ij * cpl)
-            blocks = blocks.at[
-                seg_i * (L * L) + off_j * L + off_i
-            ].add(jnp.swapaxes(H_ij, -1, -2) * cpl)
-            blocks = psum(blocks)
-            diag = damping * free[:, None, None] * eye[None] \
-                + (1.0 - free)[:, None, None] * eye[None]
-            blocks = blocks.at[
-                jnp.arange(N) // L * (L * L)
-                + (jnp.arange(N) % L) * (L + 1)
-            ].add(diag)
-            Hseg = blocks.reshape(M, L, L, 3, 3)
-            Hseg = Hseg.transpose(0, 1, 3, 2, 4).reshape(M, 3 * L, 3 * L)
-            chol = jnp.linalg.cholesky(Hseg)
-
-            def precond(v):
-                vf = (v * free[:, None]).reshape(M, 3 * L)
-                out = jax.vmap(
-                    lambda c, b: jax.scipy.linalg.cho_solve((c, True), b)
-                )(chol, vf)
-                out = out.reshape(N, 3) * free[:, None]
-                # a (numerically) failed segment factorization must not
-                # poison CG: fall back to the identity there
-                return jnp.where(jnp.isfinite(out), out, v * free[:, None])
-        else:
-            D = jnp.zeros((N, 3, 3), jnp.float32)
-            D = D.at[graph.idx_i].add(H_ii)
-            D = D.at[graph.idx_j].add(H_jj)
-            D = psum(D)
-            # prior AFTER the psum (added once, replicated)
-            D = D + damping * eye[None] * free[:, None, None] \
-                + eye[None] * (1.0 - free)[:, None, None]
-            minv = jnp.linalg.inv(D)
-
-            def precond(v):
-                return jnp.einsum("nij,nj->ni", minv, v) * free[:, None]
+        precond = make_precond(H_ii, H_jj)
 
         def hvp(v):
             vf = v * free[:, None]
@@ -427,8 +452,30 @@ def _pcg_gn(
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         return _best_step(poses, dx, node_f, chi2_of)
 
-    poses = jax.lax.fori_loop(0, iterations, gn_step, graph.poses_rad)
-    return poses, chi2_of(poses)
+    # GN loop with an IN-PROGRAM chi2 plateau exit: f32 CG cannot
+    # reach a 1e-7-relative stop, so a fixed fori_loop burns the full
+    # iteration budget even on warm near-converged graphs (the killian
+    # regime: each correction re-solves a graph that moved by a few
+    # edges). Exiting when a GN step improves chi2 by <0.1% keeps the
+    # whole loop ONE dispatch — a host-side chunked variant of the
+    # same exit was tried and its per-chunk chi2 fetches made
+    # t_optimize RTT-bound over the remote-TPU tunnel.
+    def cond(state):
+        k, _, prev_chi2, cur_chi2 = state
+        return (k < iterations) & (cur_chi2 < prev_chi2 * 0.999)
+
+    def body(state):
+        k, poses, _, cur_chi2 = state
+        new_poses = gn_step(None, poses)
+        return k + 1, new_poses, cur_chi2, chi2_of(new_poses)
+
+    chi0 = chi2_of(graph.poses_rad)
+    # prev=inf so the first iteration always runs
+    _, poses, _, chi2 = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), graph.poses_rad, jnp.float32(jnp.inf), chi0),
+    )
+    return poses, chi2
 
 
 @partial(jax.jit,
@@ -516,7 +563,7 @@ def optimize_hierarchical(
     coarse_iterations: int = 20,
     fine_iterations: int = 10,
     cg_iters: int = 1024,
-    cg_tol: float = 1e-7,
+    cg_tol: float = 1e-4,
     cycles: int = 3,
 ) -> "np.ndarray":
     """Two-level pose-graph solve for chain+loops trajectories.
@@ -540,25 +587,33 @@ def optimize_hierarchical(
     M = len(seps)
     seg_of = np.minimum(np.arange(n) // seg_len, M - 2)  # node -> coarse idx
 
-    # --- coarse odometry edges: composed (z, cov) per segment ---
-    cz = np.zeros((M - 1, 3), np.float64)
-    ccov = np.zeros((M - 1, 3, 3), np.float64)
+    # --- coarse odometry edges: composed (z, cov) per segment.
+    # Vectorized ACROSS segments (compose is sequential within a
+    # segment but independent between them): pad every segment to the
+    # longest length with identity motions / zero covariance and run
+    # the compose loop over the [M-1] batch — seg_len numpy steps
+    # instead of an O(n) Python double loop, which at killian scale
+    # (3116 nodes, one condensation per correction) was ~0.2 s of pure
+    # host time per solve. ---
     cov_chain = np.linalg.inv(
         chain_omega.astype(np.float64)
         + 1e-12 * np.eye(3)[None]
     )
-    for m in range(M - 1):
+    seg_lens = np.diff(seps)
+    Lmax = int(seg_lens.max())
+    z_pad = np.zeros((M - 1, Lmax, 3), np.float64)
+    cov_pad = np.zeros((M - 1, Lmax, 3, 3), np.float64)
+    for m in range(M - 1):  # O(M) slicing only, no per-edge work
         lo, hi = seps[m], seps[m + 1]
-        z = np.zeros(3)
-        cov = np.zeros((3, 3))
-        for k in range(lo, hi):
-            cov = _compose_cov(
-                z[None], cov[None],
-                chain_z[k].astype(np.float64)[None], cov_chain[k][None],
-            )[0]
-            z = _compose_z(z, chain_z[k].astype(np.float64))
-        cz[m] = z
-        ccov[m] = cov
+        z_pad[m, : hi - lo] = chain_z[lo:hi].astype(np.float64)
+        cov_pad[m, : hi - lo] = cov_chain[lo:hi]
+    z = np.zeros((M - 1, 3))
+    cov = np.zeros((M - 1, 3, 3))
+    for t in range(Lmax):
+        cov = _compose_cov(z, cov, z_pad[:, t], cov_pad[:, t])
+        z = _compose_z(z, z_pad[:, t])
+    cz = z
+    ccov = cov
 
     # Coarse loop information: the loop's own information, rotated into
     # the separator frame (the rotation is roughly within-segment-sized;
@@ -616,16 +671,19 @@ def optimize_hierarchical(
 
         # fine polish: short matrix-free PCG on the full graph, with
         # the chain-aware segment preconditioner (pow2-floored so it
-        # divides the pow2-padded node capacity)
+        # divides the pow2-padded node capacity) and the in-program GN
+        # plateau exit (_pcg_gn) — warm solves finish in 2-3 GN steps
+        # inside ONE dispatch, cold large-drift solves run the budget.
         fine_graph = _pack_graph(
             new.astype(np.float32), chain_z, chain_omega,
             loop_i, loop_j, loop_z, loop_omega,
         )
         pl = 1 << max(0, int(seg_len).bit_length() - 1)
+        pl = min(pl, fine_graph.capacity_nodes)
         out, chi2 = optimize_pcg(
             fine_graph, iterations=fine_iterations,
             cg_iters=cg_iters, cg_tol=cg_tol,
-            precond_seg_len=min(pl, fine_graph.capacity_nodes),
+            precond_seg_len=pl,
         )
         cur = np.asarray(out)[:n].astype(np.float64)
         chi2 = float(chi2)

@@ -391,8 +391,16 @@ class PointCloudMap:
         self.submaps: List[Submap] = [Submap(cfg, 0.0, 0)]
         self.last_pose = np.zeros(3, dtype=np.float32)
         self.last_scan: Optional[PointBuffer] = None
-        # raw local-frame scans kept for post-loop-closure remake
+        # raw local-frame scans kept for post-loop-closure remake: the
+        # host copy is canonical (checkpointed); local_scans_dev caches
+        # the PADDED device buffer per frame so remake stacks device
+        # references instead of re-uploading host-padded arrays (~1 MB
+        # per rebuilt submap over a remote-TPU tunnel — measured as the
+        # bulk of t_remake). Entries may be None (checkpoint load,
+        # batch mode); _rebuild_submap fills them lazily.
         self.local_scans: List[np.ndarray] = []
+        self.local_scans_dev: List[Optional[PointBuffer]] = []
+        self._dummy_scan_dev: Optional[PointBuffer] = None
         # registration target precomputed by the fused add_points path
         # (valid until the next map mutation)
         self._cached_target: Optional[PointBuffer] = None
@@ -608,8 +616,15 @@ class PointCloudMap:
     def set_last_scan(self, scan: PointBuffer):
         self.last_scan = scan
 
-    def record_local_scan(self, xy_local: np.ndarray):
+    def record_local_scan(self, xy_local: np.ndarray,
+                          padded: Optional[PointBuffer] = None):
+        """Record a frame's local-frame scan for the remake path.
+        `padded` is the already-padded device buffer when the caller
+        has one (the sequential paths always do — it is the scan they
+        just registered); without it the device cache entry stays None
+        and remake pads/uploads lazily."""
         self.local_scans.append(np.asarray(xy_local, dtype=np.float32))
+        self.local_scans_dev.append(padded)
 
     # -- reference: commented-out PointCloudMap::remakeMaps
     #    (src/PointCloudMap.cpp:136-171) — the reference's (never-run)
@@ -630,6 +645,8 @@ class PointCloudMap:
         every add_scan branch (first-scan-raw, carry-over, interior
         dynamic removal) exactly as the forward pass ran it — as ONE
         fused device program (_rebuild_submap_fused)."""
+        from ndt_slam_tpu.core.points import pad_points
+
         cfg = self.cfg
         end = len(new_poses) if is_open else sm.cnt_e + 1
         lo = max(0, sm.cnt_s - 2) if sm.cnt_s > 0 else 0
@@ -639,19 +656,28 @@ class PointCloudMap:
         while n_pad < n:
             n_pad *= 2
         S = cfg.max_scan_points
-        # pure-host padding: a pad_points/np.asarray pair here would
-        # cost TWO device round trips per scan — ~2.6 s per rebuilt
-        # submap over a remote-TPU tunnel (measured; it was the entire
-        # 1752 s map-rewrite bill of the first full killian run)
-        xs = np.full((n_pad, S, 2), np.float32(PAD_COORD), np.float32)
-        ms = np.zeros((n_pad, S), bool)
+        # Device-reference stacking: the per-frame padded scan buffers
+        # already live on device (recorded at process time), so the
+        # rebuild input is ONE stack dispatch of references instead of
+        # a ~1 MB host-padded upload per rebuilt submap (round 3 had
+        # already removed the per-scan round trips; this removes the
+        # remaining per-submap upload — the bulk of t_remake at
+        # killian scale). Cache misses (checkpoint load, batch mode)
+        # pad/upload once and stay cached.
+        rows = []
+        for f in frames:
+            d = self.local_scans_dev[f]
+            if d is None:
+                d = pad_points(self.local_scans[f], S)
+                self.local_scans_dev[f] = d
+            rows.append(d)
+        if self._dummy_scan_dev is None or \
+                self._dummy_scan_dev.capacity != S:
+            self._dummy_scan_dev = PointBuffer.empty(S)
+        dummy = self._dummy_scan_dev
+        rows += [dummy] * (n_pad - n)
         ps = np.zeros((n_pad, 3), np.float32)
-        for t, f in enumerate(frames):
-            a = np.asarray(self.local_scans[f], np.float32)
-            k = min(len(a), S)
-            xs[t, :k] = a[:k]
-            ms[t, :k] = True
-            ps[t] = new_poses[f]
+        ps[:n] = new_poses[frames]
         active = np.zeros(n_pad, bool)
         active[:n] = True
         carried = np.zeros(n_pad, bool)
@@ -659,7 +685,9 @@ class PointCloudMap:
 
         (proc_xy, proc_mask, count, proj, proj_mask,
          closed_xy, closed_mask) = _rebuild_submap_fused(
-            jnp.asarray(xs), jnp.asarray(ms), jnp.asarray(ps),
+            jnp.stack([r.xy for r in rows]),
+            jnp.stack([r.mask for r in rows]),
+            jnp.asarray(ps),
             jnp.asarray(active), jnp.asarray(carried),
             remove_moving=cfg.remove_moving, is_first=sm.cnt_s == 0,
             cap_sub=cfg.max_submap_points, resol=cfg.diff_resol,

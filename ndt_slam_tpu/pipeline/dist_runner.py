@@ -31,13 +31,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ndt_slam_tpu.config import SlamConfig
-from ndt_slam_tpu.core import pose2
-from ndt_slam_tpu.core.points import PAD_COORD, PointBuffer
+from ndt_slam_tpu.core.points import PointBuffer
 from ndt_slam_tpu.mapping.voxel import voxel_filter
 from ndt_slam_tpu.parallel.dist import (
     broadcast_frame, broadcast_scalar, is_coordinator,
 )
 from ndt_slam_tpu.parallel.register import make_sharded_sequential_step
+from ndt_slam_tpu.pipeline.async_frontend import PipelinedFrontEnd
 from ndt_slam_tpu.pipeline.frontend import FrameResult, FrontEnd
 
 
@@ -46,13 +46,87 @@ def _voxel_src(xy, mask, leaf: float):
     return voxel_filter(PointBuffer(xy, mask), leaf)
 
 
-@jax.jit
-def _global_scan(fused_pose, scan_xy, scan_mask):
-    g = pose2.global_points(fused_pose, scan_xy)
-    return jnp.where(scan_mask[:, None], g, PAD_COORD)
+class _ShardedStepMixin:
+    """The sharded `_run_step` shared by the synchronous and the
+    pipelined multi-host frontends.
+
+    No host value crosses the boundary per frame: local device arrays
+    are resharded onto the global mesh with device-side slices
+    (`_to_global_dev`), and the replicated global outputs are consumed
+    as this process's LOCAL device shard (`addressable_shards[0].data`
+    of a replicated array is the full value). The step therefore
+    composes with PipelinedFrontEnd's speculative dispatch exactly
+    like the single-device step does — the per-frame `device_get` of
+    the old implementation was the multi-host analog of the round-3
+    synchronous pipeline (VERDICT r4 next-round #4).
+    """
+
+    def _init_sharded_step(self, cfg: SlamConfig, mesh: Optional[Mesh]):
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), ("pt",))
+        n = mesh.devices.size
+        assert cfg.max_scan_points % n == 0, (cfg.max_scan_points, n)
+        assert cfg.max_local_map_points % n == 0, (
+            cfg.max_local_map_points, n)
+        self.mesh = mesh
+        self._seq_step = make_sharded_sequential_step(mesh, cfg)
+        self._pt = NamedSharding(mesh, P("pt"))
+        self._rep = NamedSharding(mesh, P())
+
+    def _to_global_dev(self, arr, sharding):
+        """Local device array -> global array on `sharding`, shard
+        slices taken device-side (no host round trip)."""
+        arr = jnp.asarray(arr)
+        dmap = sharding.addressable_devices_indices_map(arr.shape)
+        shards = [jax.device_put(arr[idx], d) for d, idx in dmap.items()]
+        return jax.make_array_from_single_device_arrays(
+            arr.shape, sharding, shards
+        )
+
+    @staticmethod
+    def _local(a):
+        """This process's local view of a REPLICATED global array (the
+        full value), usable by local programs — no transfer."""
+        return a.addressable_shards[0].data
+
+    def _run_step(self, scan: PointBuffer, odo_dev, prev_odo_dev,
+                  last_pose_dev, local: PointBuffer) -> FrameResult:
+        cfg = self.cfg
+        # source voxel filter runs replicated per process (identical
+        # inputs -> identical outputs), matching the single-device
+        # step's in-program filter exactly
+        srcf = _voxel_src(scan.xy, scan.mask, cfg.source_leaf_size)
+        g = self._to_global_dev
+        out = self._seq_step(
+            g(srcf.xy, self._pt),
+            g(srcf.mask, self._pt),
+            g(odo_dev, self._rep),
+            g(prev_odo_dev, self._rep),
+            g(last_pose_dev, self._rep),
+            g(self.last_cov, self._rep),
+            g(local.xy, self._pt),
+            g(local.mask, self._pt),
+            g(scan.xy, self._rep),
+            g(scan.mask, self._rep),
+        )
+        loc = self._local
+        return FrameResult(
+            est_pose=loc(out.est_pose),
+            fused_pose=loc(out.fused_pose),
+            cov=loc(out.cov),
+            cost=loc(out.cost),
+            successful=loc(out.successful),
+            iterations=loc(out.iterations),
+            matched=loc(out.matched),
+            global_xy=loc(out.global_xy),
+            error_pose=loc(out.error_pose),
+            trans_probability=loc(out.trans_probability),
+            packed=loc(out.packed),
+            grid_ok=jnp.float32(1.0),
+        )
 
 
-class DistFrontEnd(FrontEnd):
+class DistFrontEnd(_ShardedStepMixin, FrontEnd):
     """FrontEnd whose registration is sharded over the global devices.
 
     Works single-process too (the mesh is then local) — the 2-process
@@ -66,67 +140,23 @@ class DistFrontEnd(FrontEnd):
         # the registration mesh is global ("pt" over all processes),
         # while loop verification batches shard process-locally.
         super().__init__(cfg, mesh=loop_mesh)
-        if mesh is None:
-            mesh = Mesh(np.asarray(jax.devices()), ("pt",))
-        n = mesh.devices.size
-        assert cfg.max_scan_points % n == 0, (cfg.max_scan_points, n)
-        assert cfg.max_local_map_points % n == 0, (
-            cfg.max_local_map_points, n)
-        self.mesh = mesh
-        self._seq_step = make_sharded_sequential_step(mesh, cfg)
-        self._pt = NamedSharding(mesh, P("pt"))
-        self._rep = NamedSharding(mesh, P())
+        self._init_sharded_step(cfg, mesh)
 
-    def _to_global(self, host_arr: np.ndarray, sharding):
-        return jax.make_array_from_callback(
-            host_arr.shape, sharding, lambda idx: host_arr[idx]
-        )
 
-    def _run_step(self, scan: PointBuffer, odo_dev, prev_odo_dev,
-                  last_pose_dev, local: PointBuffer) -> FrameResult:
-        cfg = self.cfg
-        # source voxel filter runs replicated per process (identical
-        # inputs -> identical outputs), matching the single-device
-        # step's in-program filter exactly
-        srcf = _voxel_src(scan.xy, scan.mask, cfg.source_leaf_size)
-        g = self._to_global
-        out = self._seq_step(
-            g(np.asarray(srcf.xy), self._pt),
-            g(np.asarray(srcf.mask), self._pt),
-            g(np.asarray(odo_dev), self._rep),
-            g(np.asarray(prev_odo_dev), self._rep),
-            g(np.asarray(last_pose_dev), self._rep),
-            g(np.asarray(self.last_cov), self._rep),
-            g(np.asarray(local.xy), self._pt),
-            g(np.asarray(local.mask), self._pt),
-        )
-        host = jax.device_get(out)  # replicated -> locally addressable
-        fused = jnp.asarray(host.fused_pose)
-        global_xy = _global_scan(fused, scan.xy, scan.mask)
-        packed = np.concatenate([
-            np.asarray(host.fused_pose, np.float32),
-            np.asarray(host.cov, np.float32).reshape(-1),
-            np.asarray([host.cost, float(bool(host.successful)),
-                        float(host.iterations), host.matched,
-                        host.trans_probability], np.float32),
-            np.asarray(host.est_pose, np.float32),
-            np.asarray(host.error_pose, np.float32),
-            np.ones(1, np.float32),  # grid_ok (full rebuild path)
-        ])
-        return FrameResult(
-            est_pose=jnp.asarray(host.est_pose),
-            fused_pose=fused,
-            cov=jnp.asarray(host.cov),
-            cost=jnp.asarray(host.cost),
-            successful=jnp.asarray(host.successful),
-            iterations=jnp.asarray(host.iterations),
-            matched=jnp.asarray(host.matched),
-            global_xy=global_xy,
-            error_pose=jnp.asarray(host.error_pose),
-            trans_probability=jnp.asarray(host.trans_probability),
-            packed=jnp.asarray(packed),
-            grid_ok=jnp.float32(1.0),
-        )
+class PipelinedDistFrontEnd(_ShardedStepMixin, PipelinedFrontEnd):
+    """Multi-host sequential loop WITH chunked host sync: the sharded
+    per-frame step dispatches speculatively (device-resident carries,
+    global arrays fed straight back as the next frame's inputs) and
+    the host resolves packed rows in chunks, exactly as the
+    single-chip PipelinedFrontEnd does. Every process runs identical
+    deterministic bookkeeping on replicated outputs, so the processes
+    stay in lockstep without a per-frame barrier."""
+
+    def __init__(self, cfg: SlamConfig, mesh: Optional[Mesh] = None,
+                 loop_mesh: Optional[Mesh] = None,
+                 depth: Optional[int] = None):
+        super().__init__(cfg, mesh=loop_mesh, depth=depth)
+        self._init_sharded_step(cfg, mesh)
 
 
 def run_slam_distributed(
@@ -142,7 +172,12 @@ def run_slam_distributed(
     frame via the per-frame broadcast). Returns the local DistFrontEnd
     (identical trajectory on every process; artifacts written only when
     `out_dir` is given — pass it on the coordinator only)."""
-    fe = DistFrontEnd(cfg, mesh=mesh, loop_mesh=loop_mesh)
+    if cfg.resolved_pipeline_depth > 0:
+        # chunked host sync over the sharded step (same speculation /
+        # rollback contract as the single-chip pipelined frontend)
+        fe = PipelinedDistFrontEnd(cfg, mesh=mesh, loop_mesh=loop_mesh)
+    else:
+        fe = DistFrontEnd(cfg, mesh=mesh, loop_mesh=loop_mesh)
     if is_coordinator():
         assert frames is not None, "coordinator needs the frames"
         n_frames = min(len(frames), cfg.end_frame)

@@ -372,7 +372,8 @@ class FrontEnd:
             cov = np.zeros((3, 3), dtype=np.float32)
             g = pose2.global_points(jnp.asarray(fused), scan.xy)
             g = jnp.where(scan.mask[:, None], g, PAD_COORD)
-            self._grow_map(PointBuffer(g, scan.mask), fused, rs)
+            self._grow_map(PointBuffer(g, scan.mask), fused, rs,
+                           scan_local_padded=scan)
             self.last_cov = jnp.asarray(cov)
             self.prev_odo = odo
             self._last_pose_dev = jnp.asarray(fused)
@@ -499,7 +500,9 @@ class FrontEnd:
             self._last_pose_dev = out.fused_pose
             self._prev_odo_dev = odo_dev
             gbuf = PointBuffer(out.global_xy, scan.mask)
-        self._grow_map(gbuf, fused, rs_local)
+        self._grow_map(gbuf, fused, rs_local,
+                       scan_local_padded=(scan if not self._defer_map
+                                          else None))
         self.prev_odo = odo
         self.cnt += 1
         rec = self._build_rec(sid, host_vals)
@@ -585,7 +588,8 @@ class FrontEnd:
         self._map_rewritten = True
 
     # reference: ScanMatcher::growMap (src/ScanMatcher.cpp:93-117)
-    def _grow_map(self, scan_map_frame: PointBuffer, fused_pose, rs_local):
+    def _grow_map(self, scan_map_frame: PointBuffer, fused_pose, rs_local,
+                  scan_local_padded: Optional[PointBuffer] = None):
         self.pcmap.add_pose(fused_pose)
         if self._defer_map:
             # batch mode: the runner executes all sequences' map
@@ -605,7 +609,7 @@ class FrontEnd:
         # buffer is restored by BatchFrontEnd._dump_slot (from the
         # stacked raw tail) before any checkpoint/finalize consumer
         # reads pcmap.last_scan.
-        self.pcmap.record_local_scan(rs_local)
+        self.pcmap.record_local_scan(rs_local, padded=scan_local_padded)
 
     def _record(self, fused, cov, rec):
         self.pose_history.append(np.asarray(fused))

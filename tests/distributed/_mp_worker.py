@@ -92,8 +92,16 @@ if mode == "seq":
         if is_coordinator() else None
     )
     fe = run_slam_distributed(frames, seq_cfg)
+    # the SAME loop, pipelined (chunked host sync over the sharded
+    # step — pipeline/dist_runner.PipelinedDistFrontEnd): speculation
+    # must replay to the BIT-identical trajectory (VERDICT r4 #4)
+    fe_pipe = run_slam_distributed(
+        frames, seq_cfg.replace(pipeline_depth=4)
+    )
     if is_coordinator():
         np.savez(out_path, poses=fe.get_poses(),
+                 poses_pipe=fe_pipe.get_poses(),
+                 pipe_rollbacks=fe_pipe.n_rollbacks,
                  n_global_devices=jax.device_count())
     print(f"[p{pid}] seq done, devices={jax.device_count()}", flush=True)
     sys.exit(0)

@@ -159,6 +159,10 @@ def test_two_process_sequential_loop(tmp_path):
         assert p.returncode == 0, f"worker {i} failed:\n{o[-3000:]}"
     data = np.load(out_npz)
     assert int(data["n_global_devices"]) == 8
+    # the pipelined multi-host loop (chunked host sync) must reproduce
+    # the synchronous multi-host loop BIT-exactly — same sharded
+    # program, speculation repaired by rollback/replay (VERDICT r4 #4)
+    np.testing.assert_array_equal(data["poses_pipe"], data["poses"])
 
     cfg = SlamConfig.small(
         end_frame=10_000, ndt_trans_eps=1e-4, ndt_max_iterations=80

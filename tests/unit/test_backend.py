@@ -97,3 +97,40 @@ def test_host_scan_cache_evicts_decimated_sids():
     be.keyframes.sids = [0, 2, 4, 6, 8]
     be._evict_stale_scan_cache()
     assert set(be._host_scan_cache) == set(be.keyframes.sids)
+
+
+def test_feed_prefetched_consumed_once_and_identity_checked():
+    """The pipelined frontend folds the in-flight verify fetch into
+    its chunk fetch (backend.feed_prefetched). The stashed rows must
+    be used ONLY for the matching in-flight packed array (a new
+    dispatch between prefetch and resolve invalidates them) and must
+    be cleared after one resolve."""
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    be = GraphBackend(cfg)
+    # fabricate an in-flight verification whose packed rows accept
+    # nothing (cost high / accepted flag 0), so resolve is a no-op
+    # beyond consuming the prefetch
+    B = cfg.loop_max_candidates
+    packed = jnp.zeros((B, 16), jnp.float32)
+    be._inflight = (0, [], packed)
+    assert be.inflight_packed() is packed
+
+    be.feed_prefetched(np.zeros((B, 16), np.float32))
+    assert be._prefetched is not None
+    be._resolve_verify()
+    # consumed and cleared; nothing left in flight
+    assert be._prefetched is None
+    assert be._inflight is None
+    assert be.inflight_packed() is None
+
+    # identity mismatch: prefetched rows for an OLD dispatch must not
+    # be applied to a NEW in-flight array
+    be._inflight = (0, [], packed)
+    be.feed_prefetched(np.zeros((B, 16), np.float32))
+    other = jnp.ones((B, 16), jnp.float32)
+    be._inflight = (1, [], other)  # new dispatch superseded the old
+    be._resolve_verify()  # must fall back to device_get(other), not
+    assert be._prefetched is None  # reuse the stale prefetch
+    assert be._inflight is None
