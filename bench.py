@@ -371,7 +371,7 @@ def _bench_register(args) -> int:
             return _registration_step_inc(
                 cfg, scan_xy, scan_mask, odo_i, prev, last, cov,
                 local_xy, local_mask, mom, anchor,
-                scan_xy, scan_mask, True,
+                scan_xy, scan_mask, jnp.int32(0), True,
             )
     else:
         def run_once(odo_i):

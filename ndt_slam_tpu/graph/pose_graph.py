@@ -643,6 +643,13 @@ def optimize_hierarchical(
     # toward the full-graph optimum (hierarchical-SLAM style). ---
     com = np.linalg.inv(ccov + 1e-12 * np.eye(3)[None])
     cur = poses_rad.astype(np.float64)
+    # NOTE an early-exit of the FIRST V-cycle (break when cycle 1
+    # changed chi2 by <1% — and a stricter <0.1% variant — of the
+    # initial chi2) is a recorded NEGATIVE: killian t_optimize fell
+    # 120 -> 82-89 s but ATE degraded 0.082 -> 0.17 in both variants.
+    # At killian every deferred correction carries fresh edges, so the
+    # "warm no-op solve" the exit targets does not occur; what it
+    # actually skipped was the second cycle's real improvement.
     prev_chi2 = np.inf
     for _cycle in range(max(1, cycles)):
         # offsets separator -> loop endpoints, from the current estimate

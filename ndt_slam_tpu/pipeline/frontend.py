@@ -112,6 +112,7 @@ def _registration_step_inc(
     mom_anchor: jnp.ndarray,   # [2] int32 lattice anchor (abs cells)
     newest_xy: jnp.ndarray,    # [S,2] newest raw scan (map frame)
     newest_mask: jnp.ndarray,  # [S]
+    proc_count: jnp.ndarray,   # int32 submap proc-buffer fill level
     include_newest: bool,
 ) -> FrameResult:
     """Registration against the INCREMENTAL moment lattice (VERDICT r4
@@ -121,7 +122,15 @@ def _registration_step_inc(
     target buffer still feeds the fitness pass (reference semantics:
     getFitnessScore runs over target POINTS, src/PoseEstimator.cpp:42).
     `include_newest` mirrors Submap.step_flags: with remove_moving the
-    newest raw scan rides along in cloud() and is not in the lattice."""
+    newest raw scan rides along in cloud() and is not in the lattice.
+
+    `proc_count` mirrors the target buffer's overflow policy: cloud()
+    concatenates the newest scan into the cap_sub buffer AFTER proc,
+    so once proc fills (routine mid-submap — ~32 scans at production
+    capacities) the newest scan's tail is DROPPED from the target.
+    The fresh moments must drop the same points or the two grids
+    diverge materially in the second half of every submap (found as a
+    2.7x ATE regression on the killian_robot fixture)."""
     from ndt_slam_tpu.ndt.grid import (
         lattice_anchor, moments_abs, window_grid_from_lattice,
     )
@@ -135,8 +144,13 @@ def _registration_step_inc(
     frame_anchor = lattice_anchor(pred_pose[:2], nx, res)
     extra = None
     if include_newest:
-        extra = moments_abs(newest_xy, newest_mask, frame_anchor,
-                            nx, ny, res)
+        # keep only the newest points that fit the cap_sub buffer
+        # after proc — _concat packs compacted valid points in order,
+        # so validity-rank < remaining capacity is the exact rule
+        rank = jnp.cumsum(newest_mask.astype(jnp.int32)) - 1
+        budget = jnp.int32(cfg.max_submap_points) - proc_count
+        nm = newest_mask & (rank < budget)
+        extra = moments_abs(newest_xy, nm, frame_anchor, nx, ny, res)
     grid, in_range = window_grid_from_lattice(
         mom, mom_anchor, B, B, frame_anchor, nx, ny, res,
         extra=extra, min_pts=cfg.ndt_min_points_per_cell,
@@ -442,7 +456,8 @@ class FrontEnd:
                 cfg, scan.xy, scan.mask,
                 odo_dev, prev_odo_dev, last_pose_dev, self.last_cov,
                 local.xy, local.mask, mom, anchor,
-                newest.xy, newest.mask, include_newest,
+                newest.xy, newest.mask,
+                self.pcmap.submaps[-1].proc_count, include_newest,
             )
         self._force_full_grid = False
         return _registration_step(

@@ -105,6 +105,30 @@ def test_incremental_matches_full_end_to_end(remove_moving):
     assert len(fe0.pcmap.submaps) == len(fe1.pcmap.submaps)
 
 
+def test_incremental_matches_full_after_proc_overflow():
+    """Regression (killian_robot, round 5): once the submap proc
+    buffer fills, cloud() drops the newest scan's overflow from the
+    target buffer — the fresh newest-scan moments must drop the SAME
+    points (validity-rank >= remaining capacity) or the incremental
+    grid systematically diverges in the second half of every submap
+    (measured: 2.7x ATE on killian_robot before the fix). A tiny
+    max_submap_points forces the overflow within a few frames."""
+    kw = dict(max_submap_points=1024, submap_sep_thre=50.0)
+    cfg0 = _cfg(ndt_incremental_grid=0, **kw)
+    cfg1 = _cfg(ndt_incremental_grid=1, **kw)
+    frames = simulate_sequence(n_frames=16, beams=361, seed=3)
+    fe0, fe1 = FrontEnd(cfg0), FrontEnd(cfg1)
+    for fr in frames:
+        fe0.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
+        fe1.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
+    # the buffer really overflowed (newest-scan truncation active)
+    assert int(np.asarray(fe0.pcmap.submaps[-1].proc_count)) >= 1024
+    a = np.stack(fe0.pose_history)
+    b = np.stack(fe1.pose_history)
+    d = np.hypot(a[:, 0] - b[:, 0], a[:, 1] - b[:, 1])
+    assert d.max() < 0.02, d.max()
+
+
 def test_escape_fallback_matches_full():
     """An undersized lattice (zero margin) forces window escapes; the
     frontend must detect them (grid_ok), redo those frames through the
