@@ -85,6 +85,14 @@ class SlamConfig:
     coe_vel: float = 0.1            # translational velocity noise coefficient
     coe_omega: float = 0.5          # angular velocity noise coefficient
     coe_ndt_cov: float = 1.0        # scale on NDT covariance
+    # Degenerate-direction fusion guard (conscious addition; round 5):
+    # innovation components along NDT Hessian eigendirections whose
+    # eigenvalue is below this fraction of the largest are dropped, so
+    # the fused pose follows ODOMETRY there instead of a capped-variance
+    # pseudo-measurement. Kills the slow corridor-slide failure mode
+    # (a featureless hallway constrains nothing along its axis; see
+    # fuse/ekf.gate_and_fuse). 0 disables.
+    fuse_degenerate_ratio: float = 1e-3
 
     # ---- mapping (reference: PointCloudMap.h:37,92-95, PCFilter.h:22-23) ----
     submap_sep_thre: float = 10.0   # close submap after this travel distance [m]

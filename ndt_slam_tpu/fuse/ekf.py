@@ -64,9 +64,13 @@ def fuse_pose(
     del_time: float,
     coe_vel: float,
     coe_omega: float,
+    innov_proj: jnp.ndarray | None = None,
 ):
     """Kalman blend (reference: PoseFuser::fusePose). Returns
-    (fused_pose_deg [3], cov [3,3])."""
+    (fused_pose_deg [3], cov [3,3]). `innov_proj` (optional [3,3])
+    projects the innovation before the gain is applied — used by
+    gate_and_fuse to drop components along degenerate NDT Hessian
+    directions (those follow the odometry prediction instead)."""
     cov_hat = odometry_covariance(
         odo_motion_deg, last_pose_deg, last_cov, del_time, coe_vel, coe_omega
     )
@@ -93,6 +97,8 @@ def fuse_pose(
             deg2rad(sub_deg(est_pose_deg[2], pred_pose_deg[2])),
         ]
     )
+    if innov_proj is not None:
+        zh = innov_proj @ zh
     mu = K @ zh + mu_hat
     fused = jnp.stack([mu[0], mu[1], rad2deg(wrap_rad(mu[2]))])
     return fused, cov
@@ -136,6 +142,28 @@ def gate_and_fuse(
     inv_e = jnp.clip(inv_e, 1e-6, 1e-2)
     q_mat = (evecs * inv_e[None, :]) @ evecs.T
 
+    # --- Degenerate-direction projection (round 5). The Q cap above
+    #     is a CONDITIONING floor, not a belief: along a Hessian
+    #     eigendirection with (relatively) ~zero curvature — the
+    #     corridor axis in a featureless hallway — the NDT pose carries
+    #     no information, yet capped-Q fusion keeps pulling the fused
+    #     pose toward it at 10 cm-std confidence. That is exactly the
+    #     slow corridor-slide failure (killian_robot: a 5 m bulge worse
+    #     than raw odometry, unfixable afterwards because the
+    #     degeneracy-aware loop edges correctly carry no information
+    #     along the same axis). Instead of trusting a capped variance,
+    #     the innovation is PROJECTED off the degenerate
+    #     eigendirections, so those components follow odometry — the
+    #     same spectrum rule the loop-edge information matrices already
+    #     apply (graph/backend._resolve_verify).
+    ratio = cfg.fuse_degenerate_ratio
+    if ratio > 0.0:
+        wmax = jnp.maximum(evals[-1], 1e-9)  # eigh: ascending order
+        keep = (evals > ratio * wmax).astype(H.dtype)
+        innov_proj = (evecs * keep[None, :]) @ evecs.T
+    else:
+        innov_proj = jnp.eye(3, dtype=H.dtype)
+
     # innovation gate vs the prediction (SlamConfig.max_innovation_*)
     innov_t = jnp.hypot(
         est_pose_deg[0] - pred_pose_deg[0],
@@ -151,6 +179,7 @@ def gate_and_fuse(
     fused_k, cov_k = fuse_pose(
         pred_pose_deg, est_pose_deg, odo_motion_deg, last_pose_deg,
         last_cov, q_mat, cfg.del_time, cfg.coe_vel, cfg.coe_omega,
+        innov_proj=innov_proj,
     )
     cov_odo = odometry_covariance(
         odo_motion_deg, last_pose_deg, last_cov,
