@@ -149,12 +149,12 @@ elif workload == "seqstep":
         rng.uniform(-0.2, 0.2, 2), rng.uniform(-3.0, 3.0, 1),
     ]).astype(np.float32)) for _ in range(reps)]
     out = fn(srcf.xy, srcf.mask, odos[0], zeros3, zeros3, cov0,
-             tgt.xy, tgt.mask)
+             tgt.xy, tgt.mask, raw.xy, raw.mask)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for odo in odos:
         out = fn(srcf.xy, srcf.mask, odo, zeros3, zeros3, cov0,
-                 tgt.xy, tgt.mask)
+                 tgt.xy, tgt.mask, raw.xy, raw.mask)
         jax.block_until_ready(out)
         _ = float(np.asarray(out.cost))  # force value readback
     dt = (time.perf_counter() - t0) / reps
