@@ -242,6 +242,10 @@ def load_checkpoint(path: str, cfg: Optional[SlamConfig] = None,
         np.asarray(data[f"local_scan_{i}"])
         for i in range(meta["pcmap"]["n_local_scans"])
     ]
+    # device-side scan cache: rebuilt lazily by the remake path (the
+    # lists must stay index-aligned — a resumed run's first correction
+    # pads/uploads the restored frames once and re-caches)
+    pm.local_scans_dev = [None] * len(pm.local_scans)
     if "pcmap_mom" in data:
         mom = np.asarray(data["pcmap_mom"])
         B = cfg.resolved_grid_mom_cells

@@ -200,3 +200,32 @@ def test_checkpoint_roundtrip_preserves_lattice():
         np.testing.assert_array_equal(
             np.stack(fe.pose_history), np.stack(fe2.pose_history)
         )
+
+
+def test_remake_after_checkpoint_load():
+    """Regression (round 5): load_checkpoint restored local_scans but
+    left the device-side scan cache (local_scans_dev) empty, so the
+    first post-resume map rewrite crashed with IndexError. A remake
+    right after load must rebuild from lazily re-cached buffers."""
+    import os
+    import tempfile
+
+    from ndt_slam_tpu.pipeline.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+
+    cfg = _cfg(ndt_incremental_grid=1)
+    frames = simulate_sequence(n_frames=10, beams=181, seed=3)
+    fe = FrontEnd(cfg)
+    for fr in frames:
+        fe.process(fr.scan_xy, fr.odo_pose, sid=fr.sid)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        save_checkpoint(fe, path)
+        fe2 = load_checkpoint(path, cfg)
+        poses = np.stack(fe2.pose_history)
+        fe2.pcmap.remake_maps(poses, thresh_trans=-1.0)  # full rebuild
+        # and the rebuilt map matches the original's
+        ga = fe.pcmap.global_map()
+        gb = fe2.pcmap.global_map()
+        assert abs(len(ga) - len(gb)) <= 0.01 * max(len(ga), 1)
