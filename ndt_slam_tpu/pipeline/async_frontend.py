@@ -19,7 +19,7 @@ the actual data dependences of the reference loop
 So `PipelinedFrontEnd` dispatches frames speculatively — registration +
 fused map append per frame, pure enqueue — and RESOLVES host
 bookkeeping in chunks: every `depth` frames, the small outputs of all
-in-flight frames are packed device-side into one [K,23] array and
+in-flight frames are packed device-side into one [K,24] array and
 fetched with ONE transfer. Host state (pcmap.poses/atd, metrics,
 backend) is then advanced in order, exactly as the sync path would.
 
@@ -64,10 +64,10 @@ from ndt_slam_tpu.pipeline.frontend import FrameResult, FrontEnd
 
 
 def _pack_chunk(packed: List[jnp.ndarray]) -> jnp.ndarray:
-    """K per-frame [23] packed-output arrays -> ONE [K,23] array, so
+    """K per-frame [24] packed-output arrays -> ONE [K,24] array, so
     the chunk resolution costs one stack dispatch (K args — arg count
     is what tunnel marshaling scales with) + one device->host
-    transfer. The [23] layout is produced inside _registration_step
+    transfer. The [24] layout is produced inside _registration_step
     (FrameResult.packed). Deliberately NOT jitted: early flushes and
     drains produce variable K, and a jit here would retrace/compile
     per distinct K mid-run; jnp.stack is a single dispatch already."""
