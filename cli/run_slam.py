@@ -234,6 +234,9 @@ def main():
             "pipeline_rollbacks": fe.n_rollbacks,
             "pipeline_replayed": fe.n_replayed,
         })
+    if getattr(fe, "n_grid_fallbacks", 0):
+        # incremental-grid window escapes (expected 0 — loud fallback)
+        summary["grid_fallbacks"] = fe.n_grid_fallbacks
     if true_poses is not None and len(fe.pose_history):
         n = len(fe.pose_history)
         summary["ate_rmse_m"] = ate_rmse(fe.get_poses(), true_poses[:n])

@@ -232,7 +232,16 @@ class SlamConfig:
     @property
     def resolved_ndt_incremental_grid(self) -> bool:
         """Whether the sequential frontend registers against the
-        incremental moment lattice (see ndt_incremental_grid)."""
+        incremental moment lattice (see ndt_incremental_grid).
+
+        Forced OFF under ndt_target_filtered: the lattice mirrors the
+        UNFILTERED (prev closed + proc + newest) assembly, while the
+        reference-semantics mode registers against the voxel-FILTERED
+        current submap (src/PointCloudMap.cpp:119-134) — a materially
+        different density (measured: killian_robot reference-semantics
+        ATE 11.05 vs 0.72 when the lattice was wrongly used)."""
+        if self.ndt_target_filtered:
+            return False
         if self.ndt_incremental_grid >= 0:
             return bool(self.ndt_incremental_grid)
         return _default_platform() == "tpu"

@@ -651,6 +651,7 @@ def optimize_hierarchical(
     # "warm no-op solve" the exit targets does not occur; what it
     # actually skipped was the second cycle's real improvement.
     prev_chi2 = np.inf
+    fine_graph = None
     for _cycle in range(max(1, cycles)):
         # offsets separator -> loop endpoints, from the current estimate
         off_i = rel_of(cur, seps[li], loop_i_k)
@@ -681,14 +682,23 @@ def optimize_hierarchical(
         # divides the pow2-padded node capacity) and the in-program GN
         # plateau exit (_pcg_gn) — warm solves finish in 2-3 GN steps
         # inside ONE dispatch, cold large-drift solves run the budget.
-        fine_graph = _pack_graph(
-            new.astype(np.float32), chain_z, chain_omega,
-            loop_i, loop_j, loop_z, loop_omega,
-        )
-        pl = 1 << max(0, int(seg_len).bit_length() - 1)
-        pl = min(pl, fine_graph.capacity_nodes)
+        # The fine graph's EDGES are cycle-invariant: pack them once
+        # and only swap the pose init per cycle (~230 KB of edge
+        # arrays re-uploaded per cycle otherwise — a real cost over a
+        # remote-TPU tunnel at one solve per correction).
+        if fine_graph is None:
+            fine_graph = _pack_graph(
+                new.astype(np.float32), chain_z, chain_omega,
+                loop_i, loop_j, loop_z, loop_omega,
+            )
+            pl = 1 << max(0, int(seg_len).bit_length() - 1)
+            pl = min(pl, fine_graph.capacity_nodes)
+        N_pad = fine_graph.capacity_nodes
+        poses_pad = np.zeros((N_pad, 3), np.float32)
+        poses_pad[:n] = new.astype(np.float32)
         out, chi2 = optimize_pcg(
-            fine_graph, iterations=fine_iterations,
+            fine_graph._replace(poses_rad=jnp.asarray(poses_pad)),
+            iterations=fine_iterations,
             cg_iters=cg_iters, cg_tol=cg_tol,
             precond_seg_len=pl,
         )
